@@ -1,0 +1,244 @@
+"""Span-document parsing — pure per-document functions shared by the
+reference-transcription oracle (tests) and the engine's Arrow pandas UDF
+(operators/extract.py). One implementation, two callers: equivalence
+tests therefore compare *scheduling/dedup/join* logic, never parsing.
+
+The span vocabulary is defined in fixtures/sitegen.py. Extraction
+semantics transcribe /root/reference/src/core/seo_extractor.py (cited
+per function) re-expressed over spans instead of a DOM:
+
+- word_count (seo_extractor.py:42-44): ``\\b\\w+\\b`` tokens over the
+  page's visible text = title + headings + body runs + anchor texts
+  (the span-world analogue of ``soup.get_text()``).
+- images (seo_extractor.py:192-216): first 20, src absolutized.
+- link counts (seo_extractor.py:218-248): www-insensitive host compare.
+- hreflang (seo_extractor.py:253-262).
+- placement comes from the anchor span's region field, standing in for
+  the DOM ancestor walk of link_manager.py:202-232.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urljoin, urlparse
+
+from librecrawl_spark.functions import urls as U
+
+SEP = "\x1f"
+MAX_REDIRECTS = 10
+_WORD_RE = re.compile(r"\b\w+\b")
+
+
+def parse_http(spans) -> dict:
+    """Decode the synthetic response-metadata span (fixture 'http' kind)."""
+    for s in spans:
+        if s["kind"] == "http":
+            d = dict(p.split("=", 1) for p in s["text"].split(";") if "=" in p)
+            return {
+                "status": int(d.get("status", "0") or 0),
+                "content_type": d.get("content_type", ""),
+                "size": int(d.get("size", "0") or 0),
+                "redirect": d.get("redirect", ""),
+                "retry_after": d.get("retry_after", ""),
+            }
+    return {"status": 0, "content_type": "", "size": 0, "redirect": "", "retry_after": ""}
+
+
+def _split3(text: str) -> tuple[str, str, str]:
+    parts = text.split(SEP)
+    while len(parts) < 3:
+        parts.append("")
+    return parts[0], parts[1], parts[2]
+
+
+def anchors_of(spans):
+    """Ordered anchor tuples (href, anchor_text, region, rel)."""
+    out = []
+    for s in spans:
+        if s["kind"] == "anchor":
+            text, region, rel = _split3(s["text"])
+            out.append((s["media_ref"], text, region, rel))
+    return out
+
+
+def extract_page(url: str, spans, base_domain: str) -> dict:
+    """Per-page SEO record — field-for-field vs seo_extractor.py:10-301
+    (basic data, meta, canonical, images, link counts, hreflang) over the
+    span encoding. Caps transcribed: h2/h3 first 10 (:36-39), images
+    first 20 (:197), anchor text 100 chars (link_manager.py:131)."""
+    title = ""
+    meta: dict[str, str] = {}
+    canonical = ""
+    h1_list: list[str] = []
+    headings: list[dict] = []
+    h2: list[str] = []
+    h3: list[str] = []
+    body_texts: list[str] = []
+    images: list[dict] = []
+    hreflang: list[dict] = []
+    json_ld: list[str] = []
+
+    for s in spans:
+        k = s["kind"]
+        if k == "title" and not title:
+            title = s["text"].strip()
+        elif k == "meta":
+            name, content, _ = _split3(s["text"])
+            name = name.lower()
+            if name and name not in meta:
+                meta[name] = content
+        elif k == "canonical" and not canonical:
+            canonical = s["text"]
+        elif k in ("h1", "h2", "h3", "h4", "h5", "h6"):
+            txt = s["text"].strip()
+            headings.append({"level": int(k[1]), "text": txt})
+            if k == "h1":
+                h1_list.append(txt)
+            elif k == "h2":
+                h2.append(txt)
+            elif k == "h3":
+                h3.append(txt)
+        elif k == "text":
+            body_texts.append(s["text"])
+        elif k == "media":
+            if len(images) < 20:
+                alt, w, h = _split3(s["text"])
+                src = s["media_ref"]
+                if src:
+                    if src.startswith("//"):
+                        src = "https:" + src
+                    elif src.startswith("/"):
+                        p = urlparse(url)
+                        src = f"{p.scheme}://{p.netloc}{src}"
+                    elif not src.startswith(("http://", "https://")):
+                        src = urljoin(url, src)
+                    images.append({"src": src, "alt": alt, "width": w, "height": h})
+        elif k == "hreflang":
+            if s["text"] and s["media_ref"]:
+                hreflang.append({"lang": s["text"], "url": s["media_ref"]})
+        elif k == "jsonld":
+            json_ld.append(s["text"])
+
+    internal_links = 0
+    external_links = 0
+    anchor_texts: list[str] = []
+    for href, text, _region, _rel in anchors_of(spans):
+        anchor_texts.append(text)
+        # seo_extractor.py:225 — javascript: IS excluded here (unlike F1)
+        if href and not href.startswith(("#", "mailto:", "tel:", "javascript:")):
+            absolute = urljoin(url, href)
+            if U.strip_www(urlparse(absolute).netloc) == U.strip_www(base_domain):
+                internal_links += 1
+            else:
+                external_links += 1
+
+    visible_text = " ".join(
+        [title] + [h["text"] for h in headings] + body_texts + anchor_texts
+    )
+    word_count = len(_WORD_RE.findall(visible_text))
+
+    return {
+        "title": title,
+        "meta_description": meta.get("description", "").strip(),
+        "h1": h1_list[0] if h1_list else "",
+        "h1_list": h1_list,
+        "headings_structure": headings,
+        "h2": h2[:10],
+        "h3": h3[:10],
+        "word_count": word_count,
+        "canonical_url": canonical,
+        "robots": meta.get("robots", ""),
+        "viewport": meta.get("viewport", ""),
+        "images": images,
+        "internal_links": internal_links,
+        "external_links": external_links,
+        "hreflang": hreflang,
+        "json_ld_count": len(json_ld),
+    }
+
+
+def collect_links(url: str, spans, base_domain: str):
+    """Report-graph links — transcription of link_manager.py:120-199
+    (``collect_all_links``): urljoin, fragment split on '#', http(s)-only,
+    scope/is_internal/placement/nofollow; anchor text capped at 100 chars,
+    '(no text)' fallback. Dedup on (source,target) is done by the caller
+    (engine: dropDuplicates; oracle: links_set)."""
+    out = []
+    for href, text, region, rel in anchors_of(spans):
+        if not href:
+            continue
+        absolute = urljoin(url, href)
+        if "#" in absolute:
+            absolute = absolute.split("#")[0]
+        if not absolute.startswith(("http://", "https://")):
+            continue
+        scope = U.determine_scope(absolute, base_domain)
+        out.append({
+            "source_url": url,
+            "target_url": absolute,
+            "anchor_text": text.strip()[:100] or "(no text)",
+            "is_internal": scope in ("root", "sub"),
+            "target_domain": urlparse(absolute).netloc,
+            "placement": {"nav": "navigation", "footer": "footer"}.get(region, "body"),
+            "nofollow": rel == "nofollow",
+            "scope": scope,
+        })
+    return out
+
+
+def frontier_candidates(url: str, spans):
+    """Frontier-growth candidates — the pure prefix of
+    link_manager.py:43-68 (``extract_links``): special-scheme skip (F1,
+    link_manager.py:57-59) + absolutize/fragment-strip (F2, :62-68).
+    Returns ordered (clean_url, link_idx, signature); dedup/trap/policy
+    are relational stages applied by the engine (operators/frontier.py)
+    and sequentially by the oracle."""
+    out = []
+    for idx, (href, _text, _region, _rel) in enumerate(anchors_of(spans)):
+        href = href.strip()
+        if U.is_special_href(href):
+            continue
+        clean = U.reference_clean(href, url)
+        out.append({
+            "clean_url": clean,
+            "link_idx": idx,
+            "signature": U.url_signature(clean),
+            "host": urlparse(clean).netloc,
+        })
+    return out
+
+
+def resolve_fetch(url: str, docs: dict) -> dict:
+    """Simulated fetch with redirect following — the sandbox stand-in for
+    crawler.py:944-976 (requests.get with allow_redirects): returns final
+    doc + redirect chain. ``docs`` maps doc_id -> spans. A missing doc is
+    a connection error (status 0, crawler.py:1120 exception path); more
+    than MAX_REDIRECTS hops or a loop is a TooManyRedirects error."""
+    chain = []
+    cur = url
+    seen_chain = {url}
+    hops = 0
+    while True:
+        spans = docs.get(cur)
+        if spans is None and urlparse(cur).path == "":
+            # HTTP: a host-root URL with no path fetches "/"
+            spans = docs.get(cur + "/")
+        if spans is None:
+            return {"error": "fetch failed", "status": 0, "final_url": cur,
+                    "chain": chain, "spans": None, "http": None}
+        http = parse_http(spans)
+        if http["status"] in (301, 302, 303, 307, 308) and http["redirect"]:
+            chain.append({"url": cur, "status_code": http["status"], "hop": len(chain) + 1})
+            hops += 1
+            nxt = http["redirect"]
+            if hops > MAX_REDIRECTS or nxt in seen_chain:
+                return {"error": "too many redirects", "status": 0, "final_url": cur,
+                        "chain": chain, "spans": None, "http": None}
+            seen_chain.add(nxt)
+            cur = nxt
+            continue
+        if chain:
+            chain.append({"url": cur, "status_code": http["status"],
+                          "hop": len(chain) + 1, "final": True})
+        return {"error": None, "status": http["status"], "final_url": cur,
+                "chain": chain, "spans": spans, "http": http}

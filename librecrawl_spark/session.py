@@ -1,0 +1,42 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults mirror what we would submit on a 1000-executor cluster via
+``spark-submit --py-files``: AQE on (runtime re-plan + skew-join
+splitting), Arrow on (every Python-side transform is a vectorized
+pandas UDF), and a shuffle-partition count sized to the local core
+count (on a real cluster this is set to ~2-3x total cores or left to
+AQE coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "librecrawl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
