@@ -1,0 +1,284 @@
+"""Fetch simulation + page extraction as Spark plans.
+
+Two stages:
+
+1. ``http_meta`` / ``resolve_redirects`` — JVM-native. The synthetic
+   response metadata span parses with ``str_to_map`` (no Python), and
+   redirect chains resolve with a bounded iterative join over the
+   shrinking still-redirecting subset — the distributed equivalent of
+   requests' ``allow_redirects`` loop (reference crawler.py:944-976,
+   history handling :1033-1052). Chains are bounded by MAX_REDIRECTS;
+   loops are detected via the accumulated chain.
+
+2. ``extract_pages`` — ONE Arrow ``mapInPandas`` pass producing the full
+   page record + report links + frontier candidates per fetched URL,
+   mirroring the fixed extractor sequence of crawler.py:1069-1104
+   (extract_basic/meta/images/link_counts/hreflang + collect_all_links +
+   extract_links' pure prefix). Per-document parsing is delegated to
+   functions/spandoc.py — the same code the equivalence oracle runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from librecrawl_spark.functions import spandoc
+
+MAX_REDIRECTS = spandoc.MAX_REDIRECTS
+
+LINK_STRUCT = (
+    "source_url: string, target_url: string, anchor_text: string, "
+    "is_internal: boolean, target_domain: string, placement: string, "
+    "nofollow: boolean, scope: string"
+)
+CAND_STRUCT = "clean_url: string, link_idx: int, signature: string, host: string"
+CHAIN_STRUCT = "url: string, status_code: int, hop: int, final: boolean"
+
+PAGE_SCHEMA = (
+    "url string, depth int, seq long, wave int, "
+    "status_code int, content_type string, size long, is_internal boolean, "
+    "error string, redirect_count int, redirects array<string>, "
+    f"redirect_chain array<struct<{CHAIN_STRUCT}>>, final_url string, "
+    "title string, meta_description string, h1 string, h1_list array<string>, "
+    "headings_structure array<struct<level:int, text:string>>, "
+    "h2 array<string>, h3 array<string>, word_count int, "
+    "canonical_url string, robots string, viewport string, "
+    "images array<struct<src:string, alt:string, width:string, height:string>>, "
+    "internal_links int, external_links int, "
+    "hreflang array<struct<lang:string, url:string>>, json_ld_count int, "
+    f"links array<struct<{LINK_STRUCT}>>, candidates array<struct<{CAND_STRUCT}>>"
+)
+
+
+def _http_span_text() -> Column:
+    return F.element_at(F.expr("filter(spans, s -> s.kind = 'http')"), 1)["text"]
+
+
+def http_meta(documents: DataFrame) -> DataFrame:
+    """doc_id + decoded response metadata, all JVM-side."""
+    m = F.expr("str_to_map(_http_text, ';', '=')")
+    return (
+        documents.withColumn("_http_text", _http_span_text())
+        .select(
+            "doc_id",
+            F.coalesce(m["status"].cast("int"), F.lit(0)).alias("status"),
+            F.coalesce(m["content_type"], F.lit("")).alias("content_type"),
+            F.coalesce(m["size"].cast("long"), F.lit(0)).alias("size"),
+            F.coalesce(m["redirect"], F.lit("")).alias("redirect"),
+            F.coalesce(m["retry_after"], F.lit("")).alias("retry_after"),
+        )
+    )
+
+
+_REDIRECT_STATUSES = (301, 302, 303, 307, 308)
+
+
+def resolve_redirects(meta: DataFrame) -> DataFrame:
+    """fetch map: doc_id -> (final_doc_id, final status/ct/size, chain, error).
+
+    Bounded iterative join: per hop, only still-redirecting rows re-join
+    ``meta`` on their target. At 10^10-doc scale each iteration shuffles
+    only the 3xx residue (a few % of docs), and AQE collapses the final
+    hops to broadcast joins as the residue shrinks.
+    """
+    is_redir = F.col("status").isin(*_REDIRECT_STATUSES) & (F.col("redirect") != "")
+    cur = meta.select(
+        F.col("doc_id"),
+        F.col("doc_id").alias("cur_id"),
+        "status", "content_type", "size", "redirect", "retry_after",
+        F.array().cast(f"array<struct<{CHAIN_STRUCT}>>").alias("chain"),
+        F.lit(None).cast("string").alias("error"),
+    )
+    done_parts = []
+    for _hop in range(MAX_REDIRECTS + 1):
+        moving = cur.filter(is_redir & F.col("error").isNull())
+        done_parts.append(cur.filter(~(is_redir & F.col("error").isNull())))
+        if moving.isEmpty():
+            cur = None
+            break
+        hop_entry = F.struct(
+            F.col("cur_id").alias("url"),
+            F.col("status").alias("status_code"),
+            (F.size("chain") + 1).alias("hop"),
+            F.lit(False).alias("final"),
+        )
+        nxt = meta.select(
+            F.col("doc_id").alias("_n_id"),
+            F.col("status").alias("_n_status"),
+            F.col("content_type").alias("_n_ct"),
+            F.col("size").alias("_n_size"),
+            F.col("redirect").alias("_n_redirect"),
+            F.col("retry_after").alias("_n_ra"),
+        )
+        stepped = (
+            moving.withColumn("chain", F.concat("chain", F.array(hop_entry)))
+            .join(nxt, F.col("redirect") == F.col("_n_id"), "left")
+        )
+        loop = F.exists("chain", lambda c: c["url"] == F.col("redirect"))
+        cur = stepped.select(
+            "doc_id",
+            F.coalesce("_n_id", F.col("redirect")).alias("cur_id"),
+            F.coalesce("_n_status", F.lit(0)).alias("status"),
+            F.coalesce("_n_ct", F.lit("")).alias("content_type"),
+            F.coalesce("_n_size", F.lit(0)).alias("size"),
+            F.coalesce("_n_redirect", F.lit("")).alias("redirect"),
+            F.coalesce("_n_ra", F.lit("")).alias("retry_after"),
+            "chain",
+            F.when(F.col("_n_id").isNull(), F.lit("fetch failed"))
+            .when(loop | (F.size("chain") >= MAX_REDIRECTS), F.lit("too many redirects"))
+            .otherwise(F.lit(None))
+            .alias("error"),
+        )
+    if cur is not None:  # hop budget exhausted with rows still moving
+        done_parts.append(
+            cur.withColumn(
+                "error", F.coalesce("error", F.lit("too many redirects"))
+            )
+        )
+
+    resolved = done_parts[0]
+    for p in done_parts[1:]:
+        resolved = resolved.unionByName(p)
+
+    # finalize chain (append final hop when history exists) + derived cols,
+    # matching spandoc.resolve_fetch / crawler.py:1033-1052
+    final_entry = F.struct(
+        F.col("cur_id").alias("url"),
+        F.col("status").alias("status_code"),
+        (F.size("chain") + 1).alias("hop"),
+        F.lit(True).alias("final"),
+    )
+    has_chain = (F.size("chain") > 0) & F.col("error").isNull()
+    errored = F.col("error").isNotNull()
+    return resolved.select(
+        "doc_id",
+        F.when(errored, F.lit(None)).otherwise(F.col("cur_id")).alias("final_doc_id"),
+        F.when(errored, F.lit(0)).otherwise(F.col("status")).alias("status_code"),
+        F.when(errored, F.lit("")).otherwise(F.col("content_type")).alias("content_type"),
+        F.when(errored, F.lit(0)).otherwise(F.col("size")).alias("size"),
+        F.col("retry_after"),
+        F.when(errored | ~has_chain, F.col("chain"))
+        .otherwise(F.concat("chain", F.array(final_entry)))
+        .alias("redirect_chain"),
+        "error",
+    ).withColumn(
+        "redirect_count",
+        F.when(F.size("redirect_chain") > 0, F.size("redirect_chain") - 1).otherwise(0),
+    ).withColumn(
+        "redirects", F.expr("transform(redirect_chain, c -> c.url)")
+    ).withColumn(
+        "final_url",
+        F.when(F.size("redirect_chain") > 0, F.col("final_doc_id")).otherwise(F.lit(None)),
+    )
+
+
+def join_fetch(frontier: DataFrame, fetch_map: DataFrame, documents: DataFrame) -> DataFrame:
+    """frontier(url, depth, seq, wave) -> fetched rows with final spans.
+
+    The sandbox stand-in for network I/O (SURVEY.md §2.1 S1/J10): an
+    equi-join against the resolved fetch map, then against documents for
+    the final body. A URL with no path fetches '/' (HTTP semantics).
+    A miss models a connection error (status 0, crawler.py:1120)."""
+    f = frontier.withColumn(
+        "fetch_key",
+        F.when(F.col("url").rlike("^https?://[^/]*$"), F.concat(F.col("url"), F.lit("/")))
+        .otherwise(F.col("url")),
+    )
+    joined = f.join(fetch_map, f["fetch_key"] == fetch_map["doc_id"], "left").drop("doc_id")
+    joined = joined.select(
+        "url", "depth", "seq", "wave",
+        F.coalesce("status_code", F.lit(0)).alias("status_code"),
+        F.coalesce("content_type", F.lit("")).alias("content_type"),
+        F.coalesce("size", F.lit(0)).alias("size"),
+        F.coalesce(
+            "error",
+            F.when(F.col("final_doc_id").isNull(), F.lit("fetch failed")),
+        ).alias("error"),
+        F.coalesce("redirect_count", F.lit(0)).alias("redirect_count"),
+        F.coalesce("redirects", F.array().cast("array<string>")).alias("redirects"),
+        F.coalesce(
+            "redirect_chain", F.array().cast(f"array<struct<{CHAIN_STRUCT}>>")
+        ).alias("redirect_chain"),
+        "final_url",
+        "final_doc_id",
+    )
+    return joined.join(
+        documents.select(F.col("doc_id").alias("final_doc_id"), "spans"),
+        "final_doc_id",
+        "left",
+    ).drop("final_doc_id")
+
+
+def extract_pages(fetched: DataFrame, base_domain: str, *,
+                  crawl_external: bool, max_depth: int) -> DataFrame:
+    """One Arrow mapInPandas pass: page record + links + candidates.
+
+    Gates transcribed from the reference per-URL pipeline:
+    - parse only when content_type contains text/html (crawler.py:1055 —
+      note: ANY status code with an HTML body parses, incl. 404/429)
+    - collect_all_links for every parsed page (crawler.py:1084)
+    - frontier candidates only when (is_internal or crawl_external) and
+      depth < max_depth (crawler.py:1092-1100 extraction-gate quirk)
+    """
+
+    def run(batches):
+        import pandas as pd
+
+        from librecrawl_spark.functions import spandoc as S, urls as U
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                url = r.url
+                spans = (
+                    [
+                        {"kind": s["kind"], "text": s["text"],
+                         "media_ref": s["media_ref"], "offset": s["offset"]}
+                        for s in r.spans
+                    ]
+                    if r.spans is not None and r.error is None
+                    else []
+                )
+                is_html = "text/html" in (r.content_type or "")
+                page = S.extract_page(url, spans if is_html else [], base_domain)
+                is_internal = (
+                    U.is_internal(url, base_domain) if r.error is None else False
+                )
+                links = S.collect_links(url, spans, base_domain) if is_html else []
+                should_extract = (
+                    (is_internal or crawl_external) and r.depth < max_depth
+                )
+                cands = (
+                    S.frontier_candidates(url, spans)
+                    if (is_html and should_extract)
+                    else []
+                )
+                rows.append({
+                    "url": url, "depth": r.depth, "seq": r.seq, "wave": r.wave,
+                    "status_code": r.status_code, "content_type": r.content_type,
+                    "size": r.size, "is_internal": is_internal, "error": r.error,
+                    "redirect_count": r.redirect_count,
+                    "redirects": list(r.redirects),
+                    "redirect_chain": [dict(c) for c in r.redirect_chain],
+                    "final_url": r.final_url,
+                    **{k: page[k] for k in (
+                        "title", "meta_description", "h1", "h1_list",
+                        "headings_structure", "h2", "h3", "word_count",
+                        "canonical_url", "robots", "viewport", "images",
+                        "internal_links", "external_links", "hreflang",
+                        "json_ld_count",
+                    )},
+                    "links": links,
+                    "candidates": cands,
+                })
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {f.name: [] for f in _page_fields()}
+            )
+
+    return fetched.mapInPandas(run, schema=PAGE_SCHEMA)
+
+
+def _page_fields():
+    from pyspark.sql.types import StructType
+
+    return StructType.fromDDL(PAGE_SCHEMA).fields

@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k neighbors of a query vector.
+  The dot product runs JVM-side via ``aggregate(zip_with(...))`` in
+  double precision with sequential accumulation — bit-compatible with
+  the DuckDB oracle's ordered list reduction.
+- ``lsh_bucket_topk``: the scale path — random-hyperplane LSH buckets
+  (sign of dot with H deterministic pseudo-random planes) shrink the
+  candidate set; exact re-rank within probed buckets. At 100 TB the
+  bucket join replaces the full scan; here H is small and deterministic.
+- ``embedding_near_dups``: all pairs with cosine >= threshold, blocked
+  by LSH bucket (near-dup dedup for embedding columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a: str, b: str) -> F.Column:
+    """Sequential double-precision dot product, JVM-side."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> F.Column:
+    return F.expr(
+        f"sqrt(aggregate({a}, cast(0.0 as double), "
+        f"(acc, v) -> acc + cast(v as double) * cast(v as double)))"
+    )
+
+
+def with_cosine(df: DataFrame, query: list[float], vec_col: str = "embedding") -> DataFrame:
+    """Add cos_sim vs a literal query vector (broadcast as a literal array)."""
+    qlit = "array(" + ",".join(f"cast({float(v)!r} as double)" for v in query) + ")"
+    qnorm = sum(float(v) * float(v) for v in query) ** 0.5
+    dot = F.expr(
+        f"aggregate(zip_with({vec_col}, {qlit}, (x, y) -> cast(x as double) * y), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    return df.withColumn(
+        "cos_sim",
+        F.round(dot / (_norm(vec_col) * F.lit(qnorm)), 6),
+    )
+
+
+def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact brute-force top-k by cosine. orderBy+limit compiles to a
+    distributed TakeOrdered (per-partition top-k then merge — no global
+    sort shuffle)."""
+    return (
+        with_cosine(df, query, vec_col)
+        .select(id_col, "cos_sim")
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (seeded LCG, no numpy RNG
+    state): portable and stable across engines/processes."""
+    planes = []
+    state = 0x5EED
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append((state / float(1 << 63)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(df: DataFrame, dim: int, n_planes: int = 8,
+               vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane signature: bucket = bit-packed signs of the dot
+    products with n_planes fixed hyperplanes."""
+    planes = _hyperplanes(dim, n_planes)
+    bucket = None
+    for i, p in enumerate(planes):
+        plit = "array(" + ",".join(f"cast({v!r} as double)" for v in p) + ")"
+        dot = F.expr(
+            f"aggregate(zip_with({vec_col}, {plit}, (x, y) -> cast(x as double) * y), "
+            f"cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+        bit = F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return df.withColumn("lsh_bucket", bucket.cast("int"))
+
+
+def lsh_bucket_topk(df: DataFrame, query: list[float], k: int = 10,
+                    n_planes: int = 6, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """ANN: restrict the exact re-rank to vectors in the query's LSH
+    bucket (single-probe). Recall < 1 by construction; the scale path
+    when a full scan is too expensive."""
+    dim = len(query)
+    planes = _hyperplanes(dim, n_planes)
+    qbucket = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query, p)) >= 0:
+            qbucket |= 1 << i
+    bucketed = lsh_bucket(df, dim, n_planes, vec_col)
+    return cosine_topk(
+        bucketed.filter(F.col("lsh_bucket") == qbucket), query, k, vec_col, id_col
+    )
+
+
+def embedding_near_dups(df: DataFrame, dim: int, threshold: float = 0.95,
+                        n_planes: int = 6, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold, candidate-blocked by
+    LSH bucket equality (high-cosine pairs land in the same bucket with
+    high probability; multi-probe would push recall higher)."""
+    b = lsh_bucket(df, dim, n_planes, vec_col).select(
+        F.col(id_col), F.col(vec_col), "lsh_bucket"
+    )
+    a = b.alias("a")
+    c = b.alias("b")
+    pairs = a.join(
+        c,
+        (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    dot = F.expr(
+        f"aggregate(zip_with(a.{vec_col}, b.{vec_col}, "
+        f"(x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    na = F.expr(
+        f"sqrt(aggregate(a.{vec_col}, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))"
+    )
+    nb = F.expr(
+        f"sqrt(aggregate(b.{vec_col}, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))"
+    )
+    return (
+        pairs.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(dot / (na * nb), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

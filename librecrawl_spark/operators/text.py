@@ -1,0 +1,88 @@
+"""Text-analysis operators for large-scale training-data pipelines,
+expressed entirely with JVM-side builtin functions (no Python in the
+hot path — every expression stays inside whole-stage codegen).
+
+All operators run over the ``documents(doc_id, text, lang, ...)`` table
+and each has a DuckDB-oracle twin in __spark_entry__.oracle_sql().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic. Deterministic and SQL-portable (the oracle uses the same sets).
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "in"),
+    "de": ("der", "die", "und", "das", "nicht"),
+    "es": ("el", "la", "que", "de", "los"),
+    "fr": ("le", "la", "les", "des", "est"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),  # pinyin-ish markers
+}
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace+punctuation tokenization via regexp — ``\\w+`` runs,
+    identical semantics to the DuckDB oracle's regexp_extract_all."""
+    return F.expr(f"regexp_extract_all({col._jc.toString()}, '\\\\w+', 0)")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace words + a BPE-ish subword estimate
+    (4 chars/token heuristic over non-space mass)."""
+    t = F.col(text_col)
+    return df.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all({text_col}, '\\\\w+', 0)")).alias("n_words"),
+        F.ceil(
+            F.length(F.regexp_replace(t, r"\s+", "")) / F.lit(4)
+        ).cast("long").alias("n_subword_est"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length, mean word length, stopword ratio,
+    alpha ratio — the standard cheap pre-filters for a training corpus.
+    Pure column arithmetic; rounded for cross-engine comparison."""
+    t = F.col(text_col)
+    words = F.expr(f"regexp_extract_all({text_col}, '\\\\w+', 0)")
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(words), stop_arr))
+    return df.select(
+        "doc_id",
+        F.length(t).alias("n_chars_obs"),
+        n_words.alias("n_words"),
+        F.round(F.length(F.regexp_replace(t, r"[^A-Za-z]", "")) / F.greatest(F.length(t), F.lit(1)), 4).alias("alpha_ratio"),
+        F.round(n_stop / F.greatest(F.size(F.array_distinct(words)), F.lit(1)), 4).alias("stopword_ratio"),
+        F.round(F.length(F.regexp_replace(t, r"\s+", "")) / F.greatest(n_words, F.lit(1)), 4).alias("mean_word_len"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: score = count of language marker tokens;
+    argmax with deterministic tie-break on language code order."""
+    words = F.array_distinct(F.expr(f"regexp_extract_all(lower({text_col}), '\\\\w+', 0)"))
+    scores = [
+        F.size(F.array_intersect(words, F.array(*[F.lit(m) for m in marks]))).alias(f"s_{lang}")
+        for lang, marks in sorted(LANG_MARKERS.items())
+    ]
+    scored = df.select("doc_id", F.col(text_col), *scores)
+    langs = sorted(LANG_MARKERS)
+    # argmax via greatest + when-cascade (first lang wins ties)
+    best = F.greatest(*[F.col(f"s_{l}") for l in langs])
+    pred = F.lit("unknown")
+    for l in reversed(langs):
+        pred = F.when(F.col(f"s_{l}") == best, F.lit(l)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("unknown")).otherwise(pred)
+    return scored.select("doc_id", pred.alias("pred_lang"),
+                         *[F.col(f"s_{l}") for l in langs])
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text
+    (content-defined identity, reference md5 hashing crawler.py:1127-1131)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return df.select("doc_id", F.md5(norm).alias("fingerprint"))

@@ -1,0 +1,140 @@
+"""End-to-end crawl equivalence: the Spark engine must reproduce the
+reference-transcription oracle exactly (SURVEY.md §5 item 3):
+(a) URL-seen set + discovery order, (b) fetch/crawl ordering,
+(c) SEO extraction fields, (d) the link graph, (e) trap patterns."""
+
+import pytest
+
+from librecrawl_spark.config import CrawlConfig
+from librecrawl_spark.fixtures.sitegen import SiteGenConfig, generate_site, site_to_spark
+from librecrawl_spark.oracle.refcrawl import ReferenceCrawlOracle
+from librecrawl_spark.plans.crawl import CrawlEngine
+
+
+def run_both(spark, site_cfg, cfg):
+    site = generate_site(site_cfg)
+    seeds = [s["url"] for s in site.seeds]
+    oracle = ReferenceCrawlOracle(site.documents, site.hosts, site.base_url, cfg).run(seeds)
+    docs, hosts, _ = site_to_spark(spark, site)
+    engine = CrawlEngine(spark, docs, hosts, site.base_url, cfg, seed_urls=seeds).run()
+    return oracle, engine
+
+
+SMALL = SiteGenConfig(seed=42, n_hosts=4, pages_base_host=18, pages_other_host=5)
+CFG = CrawlConfig(max_depth=3, max_urls=100, discover_sitemaps=False)
+
+
+@pytest.fixture(scope="module")
+def both(spark):
+    return run_both(spark, SMALL, CFG)
+
+
+def test_seen_set_and_order(both):
+    oracle, engine = both
+    got = {(r["url"], r["seq"], r["depth"])
+           for r in engine.seen.collect()}
+    want = {(u, i, d) for i, (u, d) in enumerate(oracle["seen"])}
+    assert got == want
+
+
+def test_fetch_order(both):
+    oracle, engine = both
+    got = [(r["url"], r["depth"]) for r in
+           engine.pages.orderBy("wave", "seq").select("url", "depth").collect()]
+    assert got == oracle["fetch_order"]
+
+
+def test_page_extraction_fields(both):
+    oracle, engine = both
+    cols = ["url", "status_code", "content_type", "size", "is_internal", "depth",
+            "title", "meta_description", "h1", "h1_list", "h2", "h3",
+            "word_count", "canonical_url", "robots", "viewport",
+            "internal_links", "external_links", "redirect_count", "redirects",
+            "json_ld_count", "error"]
+    got = {r["url"]: r.asDict() for r in engine.pages.select(*cols).collect()}
+    assert set(got) == {p["url"] for p in oracle["pages"]}
+    for p in oracle["pages"]:
+        g = got[p["url"]]
+        for c in cols:
+            assert g[c] == p[c], f"{p['url']} field {c}: engine={g[c]!r} oracle={p[c]!r}"
+
+
+def test_nested_fields(both):
+    oracle, engine = both
+    got = {r["url"]: r for r in engine.pages.select(
+        "url", "headings_structure", "images", "hreflang", "redirect_chain").collect()}
+    for p in oracle["pages"]:
+        g = got[p["url"]]
+        assert [dict(h.asDict()) for h in g["headings_structure"]] == p["headings_structure"]
+        assert [dict(i.asDict()) for i in g["images"]] == p["images"]
+        assert [dict(h.asDict()) for h in g["hreflang"]] == p["hreflang"]
+        chain = [
+            {k: v for k, v in c.asDict().items() if not (k == "final" and not v)}
+            for c in g["redirect_chain"]
+        ]
+        assert chain == p["redirect_chain"], p["url"]
+
+
+def test_link_graph(both):
+    oracle, engine = both
+    cols = ["source_url", "target_url", "anchor_text", "is_internal",
+            "target_domain", "placement", "nofollow", "scope", "target_status"]
+    got = {(r["source_url"], r["target_url"]): r.asDict()
+           for r in engine.links.select(*cols).collect()}
+    want = {(l["source_url"], l["target_url"]): l for l in oracle["links"]}
+    assert set(got) == set(want)
+    for k, w in want.items():
+        for c in cols:
+            assert got[k][c] == w[c], f"link {k} field {c}"
+
+
+def test_linked_from(both):
+    oracle, engine = both
+    got = {r["url"]: set(r["linked_from"])
+           for r in engine.pages.select("url", "linked_from").collect()}
+    for p in oracle["pages"]:
+        assert got[p["url"]] == set(p["linked_from"]), p["url"]
+
+
+def test_stats(both):
+    oracle, engine = both
+    assert engine.stats["crawled"] == oracle["stats"]["crawled"]
+    assert engine.stats["discovered"] == oracle["stats"]["discovered"]
+
+
+class TestBudget:
+    def test_max_urls_exact_cut(self, spark):
+        cfg = CrawlConfig(max_depth=3, max_urls=9, discover_sitemaps=False)
+        oracle, engine = run_both(spark, SMALL, cfg)
+        assert engine.stats["crawled"] == 9
+        got = [(r["url"], r["depth"]) for r in
+               engine.pages.orderBy("wave", "seq").select("url", "depth").collect()]
+        assert got == oracle["fetch_order"]
+
+
+class TestTraps:
+    def test_trap_equivalence(self, spark):
+        site_cfg = SiteGenConfig(seed=11, n_hosts=3, pages_base_host=15,
+                                 pages_other_host=4, trap_pages=40)
+        cfg = CrawlConfig(max_depth=6, max_urls=300, trap_threshold=10,
+                          discover_sitemaps=False)
+        oracle, engine = run_both(spark, site_cfg, cfg)
+        got = {(r["pattern"], r["example_url"], r["count"])
+               for r in engine.traps.collect()}
+        want = {(t["pattern"], t["example_url"], t["count"]) for t in oracle["traps"]}
+        assert got == want
+        got_seen = {(r["url"], r["seq"]) for r in engine.seen.select("url", "seq").collect()}
+        want_seen = {(u, i) for i, (u, _) in enumerate(oracle["seen"])}
+        assert got_seen == want_seen
+
+
+class TestExternalMode:
+    def test_crawl_external(self, spark):
+        cfg = CrawlConfig(max_depth=2, max_urls=60, crawl_external=True,
+                          discover_sitemaps=False)
+        oracle, engine = run_both(spark, SMALL, cfg)
+        got = [(r["url"], r["depth"]) for r in
+               engine.pages.orderBy("wave", "seq").select("url", "depth").collect()]
+        assert got == oracle["fetch_order"]
+        hosts = {u.split("/")[2] for u, _ in got}
+        assert len(hosts) > 1
