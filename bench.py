@@ -1,0 +1,322 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default mode: runs the headline suite on ``local[$SPARK_GRAFT_CPUS]``
+against ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and
+prints ONE JSON line::
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "extra": {...}}
+
+The headline operator is the north-rule metric: URLs scheduled+deduped
+per second through the full frontier-scheduling pipeline (candidate
+generation is fully distributed via spark.range — no driver data, so the
+same job definition scales to a 10^10-URL frontier by raising N).
+
+``--scaling`` mode: runs the identical scheduling job at two parallelism
+levels (local[8] = N, local[32] = 4N, per the driver's sandbox protocol)
+in fresh subprocesses (a JVM's local[k] master is fixed at startup) and
+writes throughput at both + scaling efficiency to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+FRONTIER_N = int(os.environ.get("BENCH_FRONTIER_N", "5000000"))
+SEEN_M = int(os.environ.get("BENCH_SEEN_M", "1000000"))
+N_HOSTS = int(os.environ.get("BENCH_HOSTS", "1000"))
+
+
+def build_frontier_inputs(spark, n: int, m: int, n_hosts: int):
+    """Distributed synthetic frontier: n candidate links over a zipf-ish
+    host distribution (host0 is hot — exercises skew handling), m
+    already-seen URLs, and a hosts table with robots + crawl delays."""
+    from pyspark.sql import functions as F
+
+    # zipf-ish host id: h = id % n_hosts, but ~20% of candidates hit host0
+    h = F.when(F.pmod(F.xxhash64("id"), 5) == 0, F.lit(0)).otherwise(
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_hosts))
+    )
+    target = F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n // 2))  # ~2x dup rate
+    cands = spark.range(n).select(
+        F.concat(F.lit("https://h"), h.cast("string"), F.lit(".example/p/"),
+                 target.cast("string")).alias("clean_url"),
+        F.pmod(F.xxhash64("id", F.lit(3)), F.lit(50)).cast("int").alias("link_idx"),
+        F.concat(F.lit("/p/\\d+@h"), h.cast("string")).alias("signature"),
+        F.concat(F.lit("h"), h.cast("string"), F.lit(".example")).alias("host"),
+        F.concat(F.lit("https://h"), h.cast("string"), F.lit(".example/src/"),
+                 F.pmod(F.xxhash64("id", F.lit(4)), F.lit(10000)).cast("string")).alias("src_url"),
+        F.col("id").alias("src_seq"),
+        F.lit(1).alias("depth"),
+    )
+    seen = spark.range(m).select(
+        F.concat(
+            F.lit("https://h"),
+            F.pmod(F.xxhash64("id", F.lit(9)), F.lit(n_hosts)).cast("string"),
+            F.lit(".example/p/"),
+            F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n // 2)).cast("string"),
+        ).alias("url")
+    )
+    hosts = spark.range(n_hosts).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example")).alias("host"),
+        F.concat(F.lit("User-agent: *\nDisallow: /private/\nCrawl-delay: "),
+                 F.pmod("id", F.lit(4)).cast("string")).alias("robots_txt"),
+        F.pmod("id", F.lit(4)).cast("double").alias("crawl_delay"),
+    )
+    return cands, seen, hosts
+
+
+def bench_frontier_schedule(spark, n: int = FRONTIER_N, m: int = SEEN_M) -> dict:
+    """The north-rule job: schedule+dedup a synthetic frontier wave."""
+    from librecrawl_spark.config import CrawlConfig
+    from librecrawl_spark.operators import frontier as FR
+
+    cands, seen, hosts = build_frontier_inputs(spark, n, m, N_HOSTS)
+    cands = cands.persist()
+    seen = seen.persist()
+    hosts = hosts.persist()
+    cands.count(), seen.count(), hosts.count()  # materialize inputs outside timing
+
+    # threshold above any per-signature count: steady-state shape where no
+    # signature crosses this wave (the exact ordered trap window then runs
+    # on an empty hot set; threshold-crossing waves exercise it in tests)
+    cfg = CrawlConfig(trap_threshold=1_000_000_000, crawl_external=True,
+                      respect_robots=True, wave_seconds=3600.0)
+    counts = spark.createDataFrame([], schema="signature string, cnt long")
+    reps = int(os.environ.get("BENCH_REPS", "2"))
+    elapsed, n_sched = 1e18, 0
+    for _ in range(reps):
+        t0 = time.time()
+        new_frontier, counts_delta, trap_hits, occ = FR.schedule_wave(
+            cands, seen, counts, hosts, "h0.example", cfg, seq_start=0,
+            src_seq_bounds=(0, n - 1),
+        )
+        new_frontier = new_frontier.persist()
+        selected, deferred = FR.apply_politeness(new_frontier, hosts, cfg.wave_seconds)
+        n_sched = selected.count()
+        elapsed = min(elapsed, time.time() - t0)
+        new_frontier.unpersist()
+        occ.unpersist()
+    for d in (cands, seen, hosts):
+        d.unpersist()
+    return {
+        "sec": round(elapsed, 2),
+        "candidates_in": n,
+        "scheduled_out": n_sched,
+        "urls_per_sec": round(n / elapsed),
+    }
+
+
+def bench_extract(spark, n_docs: int = 200_000) -> dict:
+    """Fetch-join + Arrow extraction throughput over synthetic span docs
+    built natively (no driver data)."""
+    from pyspark.sql import functions as F
+
+    from librecrawl_spark.operators import extract as X
+
+    span = lambda k, t, m: F.struct(  # noqa: E731
+        F.lit(k).alias("kind"), t.alias("text"), m.alias("media_ref"),
+        F.lit(0).alias("offset"))
+    url = F.concat(F.lit("https://b"), F.pmod(F.xxhash64("id"), F.lit(100)).cast("string"),
+                   F.lit(".example/d/"), F.col("id").cast("string"))
+    docs = spark.range(n_docs).select(
+        url.alias("doc_id"),
+        F.array(
+            span("http", F.lit("status=200;content_type=text/html;size=1000;redirect=;retry_after="), F.lit("")),
+            span("title", F.concat(F.lit("Doc "), F.col("id").cast("string")), F.lit("")),
+            span("h1", F.lit("Heading"), F.lit("")),
+            span("text", F.repeat(F.lit("alpha beta gamma delta epsilon "), 40), F.lit("")),
+            span("anchor", F.lit("next\x1fbody\x1f"),
+                 F.concat(F.lit("/d/"), ((F.col("id") + 1) % n_docs).cast("string"))),
+            span("anchor", F.lit("nav\x1fnav\x1fnofollow"), F.lit("/d/0")),
+        ).alias("spans"),
+    ).persist()
+    docs.count()
+    t0 = time.time()
+    frontier = docs.select(F.col("doc_id").alias("url"), F.lit(0).alias("depth"),
+                           F.monotonically_increasing_id().alias("seq"),
+                           F.lit(0).alias("wave"))
+    fetch_map = X.resolve_redirects(X.http_meta(docs))
+    pages = X.extract_pages(X.join_fetch(frontier, fetch_map, docs),
+                            "b0.example", crawl_external=True, max_depth=5)
+    n_out = pages.count()
+    elapsed = time.time() - t0
+    docs.unpersist()
+    return {"sec": round(elapsed, 2), "docs": n_docs, "pages_out": n_out,
+            "docs_per_sec": round(n_docs / elapsed)}
+
+
+def bench_queries(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    picks = ["q1_pricing_summary", "j1_status_lookup_join", "w3_topk_per_group",
+             "dedup_minhash", "dedup_jaccard_pairs", "dedup_simhash",
+             "sim_cosine_topk", "text_langid", "events_sessionize",
+             "a9_bigram_topk"]
+    out = {}
+    for name in picks:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        out[name] = round(time.time() - t0, 2)
+        _ = n
+    return out
+
+
+def run_suite() -> None:
+    from librecrawl_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(int(CPUS) * 2, 8))
+    t0 = time.time()
+    q = bench_queries(spark, SF_DIR)
+    fr = bench_frontier_schedule(spark)
+    ex = bench_extract(spark)
+    total = round(time.time() - t0, 2)
+    q["frontier_schedule"] = fr["sec"]
+    q["fetch_extract"] = ex["sec"]
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "urls_scheduled_deduped_per_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": q,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "extra": {
+            "frontier": fr,
+            "extract": ex,
+            "cpus": int(CPUS),
+        },
+    }))
+    spark.stop()
+
+
+def _scaling_child(cpus: int, n: int) -> None:
+    from librecrawl_spark.session import get_spark
+
+    # both levels get the same (ample) heap so the comparison measures
+    # CPU scaling, not allocator pressure in a shared-size JVM
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    spark = get_spark(f"bench-scale-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus * 2)
+    fr = bench_frontier_schedule(spark, n=n)
+    ex = bench_extract(spark, n_docs=int(os.environ.get("BENCH_EXTRACT_N", "200000")))
+    cal = _calibrate_cpu(spark, cpus)
+    print("SCALING_RESULT " + json.dumps(
+        {"cpus": cpus, "frontier": fr, "extract": ex, "calibration": cal}))
+    spark.stop()
+
+
+def _calibrate_cpu(spark, cpus: int) -> dict:
+    """Hardware-ceiling probe: a pure-JVM compute job (chained xxhash64
+    over spark.range) with no shuffle, no Python, no IO. Its 8-vs-32
+    ratio measures what this VM can deliver at best — the pipeline's
+    efficiency should be read against this ceiling (a real 4N-executor
+    cluster adds memory bandwidth and IO with the cores; this sandbox
+    shares one memory bus)."""
+    from pyspark.sql import functions as F
+
+    expr = F.col("id")
+    for _ in range(12):
+        expr = F.xxhash64(expr)
+    best = 1e18
+    for _ in range(2):
+        t0 = time.time()
+        spark.range(0, 2_000_000_000, 1, cpus * 4).select(F.max(expr)).collect()
+        best = min(best, time.time() - t0)
+    return {"sec": round(best, 2), "rows_per_sec": round(2_000_000_000 / best)}
+
+
+def run_scaling(n: int) -> None:
+    results = {}
+    for cpus in (8, 32):
+        p = subprocess.run(
+            [sys.executable, __file__, "--scaling-child", str(cpus), str(n)],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        line = [l for l in p.stdout.splitlines() if l.startswith("SCALING_RESULT")]
+        if not line:
+            print(p.stdout[-3000:], p.stderr[-3000:], file=sys.stderr)
+            raise SystemExit(f"scaling child local[{cpus}] failed")
+        results[cpus] = json.loads(line[-1].split(" ", 1)[1])
+
+    f8, f32 = results[8]["frontier"], results[32]["frontier"]
+    e8, e32 = results[8]["extract"], results[32]["extract"]
+    c8, c32 = results[8]["calibration"], results[32]["calibration"]
+    f_eff = (f32["urls_per_sec"] / f8["urls_per_sec"]) / 4
+    e_eff = (e32["docs_per_sec"] / e8["docs_per_sec"]) / 4
+    ceiling = (c32["rows_per_sec"] / c8["rows_per_sec"]) / 4
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    with open(f"{REPO}/BENCH/BASELINE.md", "w") as fh:
+        fh.write(f"""# BENCH/BASELINE — scaling evidence (north rule)
+
+Protocol per BASELINE.md: identical job, identical input, two
+parallelism levels — `local[8]` (N) and `local[32]` (4N) — as the
+sandbox proxy for N vs 4N executors. Throughput at both + scaling
+efficiency = (T_4N / T_N) / 4. Requirement: efficiency >= 0.8 is the
+ideal; values are bounded in this sandbox by a single shared JVM heap
+and one NVMe (a real 4N-executor cluster adds memory+IO with the cores).
+
+## Frontier schedule+dedup (headline: URLs scheduled+deduped/sec)
+
+Input: {n:,} synthetic candidate URLs (zipf hosts, hot host0 ~20%),
+{SEEN_M:,}-row seen set, {N_HOSTS} hosts with robots + crawl-delays.
+Pipeline: self-filter -> anti-join seen -> broadcast robots join ->
+Arrow policy UDF -> dedup/trap windows -> global seq -> politeness quota.
+
+| parallelism | wall sec | URLs/sec | scheduled out |
+|---|---|---|---|
+| local[8]  (N)  | {f8['sec']} | {f8['urls_per_sec']:,} | {f8['scheduled_out']:,} |
+| local[32] (4N) | {f32['sec']} | {f32['urls_per_sec']:,} | {f32['scheduled_out']:,} |
+
+**Scaling efficiency: {f_eff:.2f}**
+
+## Fetch-join + Arrow extraction (docs/sec)
+
+| parallelism | wall sec | docs/sec |
+|---|---|---|
+| local[8]  (N)  | {e8['sec']} | {e8['docs_per_sec']:,} |
+| local[32] (4N) | {e32['sec']} | {e32['docs_per_sec']:,} |
+
+**Scaling efficiency: {e_eff:.2f}**
+
+## Hardware ceiling calibration
+
+A pure-JVM compute job (chained xxhash64, no shuffle/Python/IO) measures
+what this VM delivers going 8 -> 32 threads — the sandbox shares one
+memory bus and its vCPUs are host-scheduled, so even embarrassingly
+parallel JVM code does not reach 4x. On a real cluster, 4N executors
+bring 4x memory bandwidth and IO with them.
+
+| parallelism | wall sec | hash-rows/sec |
+|---|---|---|
+| local[8]  (N)  | {c8['sec']} | {c8['rows_per_sec']:,} |
+| local[32] (4N) | {c32['sec']} | {c32['rows_per_sec']:,} |
+
+**Hardware ceiling efficiency: {ceiling:.2f}** — pipeline efficiencies
+normalized to the ceiling: frontier {f_eff / ceiling:.2f}, extract
+{e_eff / ceiling:.2f}.
+
+Raw: `{json.dumps(results)}`
+""")
+    print(json.dumps({"frontier_eff": round(f_eff, 3), "extract_eff": round(e_eff, 3),
+                      "ceiling_eff": round(ceiling, 3), "results": results}))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
+        _scaling_child(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        run_scaling(int(sys.argv[2]) if len(sys.argv) > 2 else FRONTIER_N)
+    else:
+        run_suite()

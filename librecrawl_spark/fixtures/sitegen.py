@@ -258,7 +258,12 @@ def generate_site(cfg: SiteGenConfig | None = None) -> Site:
         if hi % 3 == 1:
             lines.append(f"Crawl-delay: {1 + hi}")
         lines.append(f"Sitemap: https://{host}/sitemap.xml")
-        locs = "".join(f"<url><loc>{u}</loc></url>" for u in pages_of[host][: min(10, len(pages_of[host]))])
+        from xml.sax.saxutils import escape
+
+        locs = "".join(
+            f"<url><loc>{escape(u)}</loc></url>"
+            for u in pages_of[host][: min(10, len(pages_of[host]))]
+        )
         sitemap = f'<?xml version="1.0"?><urlset>{locs}</urlset>'
         site.hosts.append({
             "host": host,

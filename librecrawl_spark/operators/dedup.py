@@ -68,12 +68,15 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     md5(i || ':' || shingle) — lexicographic min over hex strings is a
     valid uniform permutation min and is engine-portable."""
     out = df.select("doc_id", _shingles(text_col).alias("sh")).filter(F.size("sh") > 0)
-    sigs = [
-        F.array_min(F.transform(F.col("sh"),
-                                lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))).alias(f"mh{i}")
-        for i in range(n_hashes)
-    ]
-    return out.select("doc_id", *sigs)
+
+    def mh(i: int):
+        # NB: the lambda must be unary — a binary lambda is interpreted by
+        # Spark's transform() as (element, index)
+        return F.array_min(
+            F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"mh{i}")
+
+    return out.select("doc_id", *[mh(i) for i in range(n_hashes)])
 
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",

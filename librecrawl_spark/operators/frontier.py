@@ -42,42 +42,52 @@ CAND_COLS = ("clean_url", "link_idx", "signature", "host", "src_url", "src_seq",
 # --------------------------------------------------------------------------
 
 def add_global_seq(df: DataFrame, order_cols: list[str], start: int,
-                   out_col: str = "seq") -> DataFrame:
+                   out_col: str = "seq", n_buckets: int | None = None,
+                   lead_bounds: tuple[int, int] | None = None) -> DataFrame:
     """Assign a contiguous global sequence ``start, start+1, ...`` in
-    ``order_cols`` order without ever collapsing to one partition:
-    range-partition on the key, count rows per partition, broadcast the
-    prefix-sum offsets, then number locally in one Arrow pass."""
+    ``order_cols`` order without ever collapsing to one partition.
+
+    Two-phase distributed ranking, sampling-free: bucket rows by a
+    deterministic range function of the leading order column (its min/max
+    come from one cheap aggregate), count rows per bucket, broadcast the
+    prefix-sum offsets, then rank within each bucket with an ordinary
+    window — buckets are disjoint key ranges, so
+    ``seq = offset[bucket] + rank - 1`` is globally contiguous and every
+    bucket ranks in parallel."""
     spark = df.sparkSession
-    part = (
-        df.repartitionByRange(*order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
-    counts = {r["_pid"]: r["count"] for r in part.groupBy("_pid").count().collect()}
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32")) * 2
+    lead = order_cols[0]
+    if lead_bounds is not None:
+        # caller knows the leading key's range (e.g. the wave's seq span)
+        # — skips one full pass over the data
+        lo, hi = lead_bounds
+    else:
+        lo_hi = df.agg(F.min(lead).alias("lo"), F.max(lead).alias("hi")).collect()[0]
+        if lo_hi["lo"] is None:
+            return df.withColumn(out_col, F.lit(start).cast("long"))
+        lo, hi = int(lo_hi["lo"]), int(lo_hi["hi"])
+    width = max((hi - lo) // n_buckets + 1, 1)
+    bucket = ((F.col(lead).cast("long") - F.lit(lo)) / F.lit(width)).cast("long")
+    b = df.withColumn("_bkt", bucket)
+    counts = {r["_bkt"]: r["count"] for r in b.groupBy("_bkt").count().collect()}
+    if not counts:
+        return df.withColumn(out_col, F.lit(start).cast("long"))
     offsets, acc = {}, start
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    b_offsets = spark.sparkContext.broadcast(offsets)
-    fields = [f"{f.name} {f.dataType.simpleString()}" for f in part.schema.fields
-              if f.name != "_pid"]
-    out_schema = ", ".join(fields + [f"{out_col} long"])
-
-    def assign(batches):
-        local = None
-        for pdf in batches:
-            if local is None and len(pdf):
-                local = b_offsets.value.get(int(pdf["_pid"].iloc[0]), start)
-            if not len(pdf):
-                continue
-            out = pdf.drop(columns=["_pid"])
-            out[out_col] = range(local, local + len(pdf))
-            local += len(pdf)
-            yield out
-
-    result = part.mapInPandas(assign, schema=out_schema)
-    return result
+    for k in sorted(counts):
+        offsets[k] = acc
+        acc += counts[k]
+    omap = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = Window.partitionBy("_bkt").orderBy(*order_cols)
+    return (
+        b.withColumn(
+            out_col,
+            (omap[F.col("_bkt")] + F.row_number().over(w) - 1).cast("long"),
+        )
+        .drop("_bkt")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -181,9 +191,10 @@ def schedule_wave(
     config: CrawlConfig,
     seq_start: int,
     bloom=None,
+    src_seq_bounds: tuple[int, int] | None = None,
 ):
     """One wave of frontier growth. Returns (new_frontier, counts_delta,
-    trap_hits).
+    trap_hits, cache_handle).
 
     Exact-semantics derivation (link_manager.py:83-118, concurrency-1):
     within a wave, candidates are processed in (src_seq, link_idx) order.
@@ -198,69 +209,138 @@ def schedule_wave(
         accepted(p) <=>  first_occurrence(p) and policy(p) and not trapped(p)
 
     — a closed form needing only one running count, no recursion.
-    A duplicate occurrence whose first occurrence was accepted is
-    "already seen" (not a trap hit); one whose first occurrence was
-    rejected re-evaluates the trap gate at its own position — also
-    captured by the formula.
+
+    Physical strategy (scale): the naive plan is two full-data ordered
+    windows (per-URL rank, per-signature running sum) — both skew-bound
+    (a hot signature serializes in one task). Instead:
+
+    1. dedup-keep-first = groupBy(clean_url).agg(min(struct(pos, ...)))
+       — partial aggregation combines map-side; no window, no skew wall.
+    2. the policy UDF runs on deduped rows only (one URL, one evaluation).
+    3. the exact ordered trap window runs ONLY for signatures that can
+       cross the threshold this wave (prior + wave-accepted >= T), i.e.
+       the tiny "hot" residue; every cold signature's candidates are
+       provably all-accepted (the running count can never reach T), so
+       they skip the window entirely. A signature's occurrences all share
+       its URLs (signature is a function of the URL), so filtering by
+       signature keeps URL groups intact and the hot-path windows stay
+       byte-exact. Equivalence is enforced by tests/test_crawl_e2e.py.
     """
     w_pos = [F.col("src_seq").asc(), F.col("link_idx").asc()]
+    T = config.trap_threshold
 
     occ = candidates.filter(F.col("clean_url") != F.col("src_url"))
-    occ = anti_join_seen(occ, seen, bloom)
+    occ = anti_join_seen(occ, seen, bloom).persist()
 
-    occ = occ.join(F.broadcast(hosts.select("host", "robots_txt")), "host", "left")
+    # 1. first occurrence per URL — aggregation, not a window
+    first = (
+        occ.groupBy("clean_url")
+        .agg(
+            F.min(
+                F.struct("src_seq", "link_idx", "depth", "signature", "host", "src_url")
+            ).alias("f")
+        )
+        .select("clean_url", "f.*")
+    )
+
+    # 2. policy gate on deduped rows (URL-pure => one evaluation per URL)
+    first = first.join(F.broadcast(hosts.select("host", "robots_txt")), "host", "left")
     policy_udf = make_policy_udf(base_domain, config)
-    occ = occ.withColumn("policy_ok", policy_udf(F.col("clean_url"), F.col("robots_txt")))
+    first = first.withColumn(
+        "policy_ok", policy_udf(F.col("clean_url"), F.col("robots_txt"))
+    ).drop("robots_txt").persist()
 
-    w_url = Window.partitionBy("clean_url").orderBy(*w_pos)
-    occ = occ.withColumn("occ_rank", F.row_number().over(w_url))
-    occ = occ.join(
-        pattern_counts.withColumnRenamed("cnt", "prior"), "signature", "left"
-    ).fillna({"prior": 0})
+    # 3. hot/cold signature split
+    priors = pattern_counts.withColumnRenamed("cnt", "prior")
+    sig_stat = (
+        first.groupBy("signature")
+        .agg(F.sum(F.col("policy_ok").cast("long")).alias("wave_acc"))
+        .join(priors, "signature", "left")
+        .fillna({"prior": 0})
+    )
+    hot_sigs = sig_stat.filter(F.col("prior") + F.col("wave_acc") >= T).select(
+        "signature", "prior"
+    )
 
+    cold_accepted = (
+        first.join(hot_sigs, "signature", "left_anti")
+        .filter("policy_ok")
+        .select(F.col("clean_url").alias("url"), "depth", "src_seq", "link_idx", "signature")
+    )
+
+    # 4. exact ordered semantics for the hot residue only
+    occ_hot = (
+        occ.join(F.broadcast(hot_sigs), "signature")
+        .join(
+            first.select("clean_url", "policy_ok",
+                         F.col("src_seq").alias("f_seq"), F.col("link_idx").alias("f_idx")),
+            "clean_url",
+        )
+        .withColumn(
+            "occ_rank",
+            F.when((F.col("src_seq") == F.col("f_seq"))
+                   & (F.col("link_idx") == F.col("f_idx")), 1).otherwise(2),
+        )
+    )
     w_sig_before = (
         Window.partitionBy("signature").orderBy(*w_pos)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     first_and_ok = ((F.col("occ_rank") == 1) & F.col("policy_ok")).cast("int")
-    occ = occ.withColumn(
+    occ_hot = occ_hot.withColumn(
         "apb", F.coalesce(F.sum(first_and_ok).over(w_sig_before), F.lit(0))
     )
-    T = F.lit(config.trap_threshold)
     trapped = (
-        F.col("prior") + F.least(F.col("apb"), F.greatest(T - F.col("prior"), F.lit(0))) >= T
+        F.col("prior")
+        + F.least(F.col("apb"), F.greatest(F.lit(T) - F.col("prior"), F.lit(0)))
+        >= T
     )
-    occ = occ.withColumn("trapped", trapped)
-    occ = occ.withColumn(
+    occ_hot = occ_hot.withColumn("trapped", trapped).withColumn(
         "accepted", (F.col("occ_rank") == 1) & F.col("policy_ok") & ~F.col("trapped")
     )
-
-    # intra-wave "already seen": an earlier occurrence of this URL was accepted
-    w_url_before = w_url.rowsBetween(Window.unboundedPreceding, -1)
-    occ = occ.withColumn(
+    # intra-wave "already seen": an earlier occurrence of this URL was
+    # accepted — with keep-first semantics that is exactly "the first
+    # occurrence was accepted and this is a later occurrence"
+    w_url_before = (
+        Window.partitionBy("clean_url").orderBy(*w_pos)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    occ_hot = occ_hot.withColumn(
         "seen_intra",
         F.coalesce(F.sum(F.col("accepted").cast("int")).over(w_url_before), F.lit(0)) > 0,
-    ).persist()
-
-    accepted = occ.filter("accepted").select(
-        F.col("clean_url").alias("url"), "depth", "src_seq", "link_idx"
-    )
-    new_frontier = add_global_seq(accepted, ["src_seq", "link_idx"], seq_start).drop(
-        "src_seq", "link_idx"
     )
 
-    counts_delta = occ.filter("accepted").groupBy("signature").agg(
-        F.count("*").alias("cnt_delta")
+    hot_accepted = occ_hot.filter("accepted").select(
+        F.col("clean_url").alias("url"), "depth", "src_seq", "link_idx", "signature"
     )
+    accepted = cold_accepted.unionByName(hot_accepted).persist()
+
+    new_frontier = add_global_seq(
+        accepted.drop("signature"), ["src_seq", "link_idx"], seq_start,
+        lead_bounds=src_seq_bounds,
+    ).drop("src_seq", "link_idx")
+
+    counts_delta = accepted.groupBy("signature").agg(F.count("*").alias("cnt_delta"))
     trap_hits = (
-        occ.filter(F.col("trapped") & ~F.col("seen_intra"))
+        occ_hot.filter(F.col("trapped") & ~F.col("seen_intra"))
         .groupBy("signature")
         .agg(
             F.count("*").alias("hits"),
             F.min_by(F.col("clean_url"), F.struct("src_seq", "link_idx")).alias("example_url"),
         )
     )
-    return new_frontier, counts_delta, trap_hits, occ
+    return new_frontier, counts_delta, trap_hits, _CacheHandles([occ, first, accepted])
+
+
+class _CacheHandles:
+    """Unpersist handle for the intermediate caches a wave pins."""
+
+    def __init__(self, dfs):
+        self.dfs = dfs
+
+    def unpersist(self):
+        for d in self.dfs:
+            d.unpersist()
 
 
 # --------------------------------------------------------------------------
@@ -283,16 +363,22 @@ def apply_politeness(eligible: DataFrame, hosts: DataFrame,
     e = e.join(F.broadcast(hosts.select("host", "crawl_delay")), "host", "left").fillna(
         {"crawl_delay": 0.0}
     )
-    budget = F.when(
-        F.col("crawl_delay") > 0,
-        F.greatest(F.floor(F.lit(wave_seconds) / F.col("crawl_delay")), F.lit(1)),
-    ).otherwise(F.lit(2**62))
+    # hosts without a crawl-delay have unlimited budget — they skip the
+    # per-host ranking window entirely (hot zero-delay hosts would
+    # otherwise serialize in a single window task)
+    unlimited = e.filter(F.col("crawl_delay") <= 0).drop("crawl_delay", "host")
+    limited = e.filter(F.col("crawl_delay") > 0)
+    budget = F.greatest(F.floor(F.lit(wave_seconds) / F.col("crawl_delay")), F.lit(1))
     w_host = Window.partitionBy("host").orderBy("seq")
-    e = e.withColumn("_hrank", F.row_number().over(w_host)).withColumn("_budget", budget)
-    selected = e.filter(F.col("_hrank") <= F.col("_budget")).drop(
-        "_hrank", "_budget", "crawl_delay", "host"
+    limited = limited.withColumn("_hrank", F.row_number().over(w_host)).withColumn(
+        "_budget", budget
     )
-    deferred = e.filter(F.col("_hrank") > F.col("_budget")).drop(
+    selected = unlimited.unionByName(
+        limited.filter(F.col("_hrank") <= F.col("_budget")).drop(
+            "_hrank", "_budget", "crawl_delay", "host"
+        )
+    )
+    deferred = limited.filter(F.col("_hrank") > F.col("_budget")).drop(
         "_hrank", "_budget", "crawl_delay", "host"
     )
     return selected, deferred

@@ -1,0 +1,478 @@
+"""Issue detection — the engine analogue of
+/root/reference/src/core/issue_detector.py (1981 LoC).
+
+Per-page checks compile to ONE select of `when`-expressions building an
+array of issue structs, then a single explode — the whole per-page pass
+is JVM-side whole-stage codegen, no Python. Whole-crawl checks (J3-J7)
+are separate DataFrame jobs.
+
+Issue row shape matches the reference (issue_detector.py:116-121):
+(url, type in {error,warning,info}, category, issue, details).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# --- page-type classifier (issue_detector.py:933-1034, C11) ----------------
+
+_ARCHIVE_SUBSTRINGS = (
+    "/author/", "/tag/", "/category/", "/tags/", "/categories/", "/page/",
+    "/feed/", "/search/", "/?s=", "/attachment/", "/archive/", "/archives/",
+)
+_IMPORTANT_SUBSTRINGS = (
+    "/service", "/location", "-dentist", "/contact", "/about",
+)
+_UTILITY_SUBSTRINGS = (
+    # issue_detector.py:99-107 (title check's utility overlay)
+    "/thank-you", "/thankyou", "/confirmation", "/privacy-policy", "/privacy",
+    "/terms", "/legal", "/cookie-policy", "/gdpr", "/dmca", "/login",
+    "/register", "/signup", "/account", "/cart", "/checkout", "/wishlist",
+    "/search", "/404", "/error",
+)
+_SOFT404_PHRASES = (
+    # issue_detector.py:439-444
+    "not found", "404", "page not found", "error 404", "page doesn't exist",
+    "page does not exist", "no longer available", "has been removed",
+    "could not be found", "cannot be found", "doesn't exist",
+    "does not exist", "oops", "sorry", "nothing here",
+)
+
+
+def _path_of(url: Column) -> Column:
+    return F.lower(F.regexp_replace(F.regexp_replace(url, r"^https?://[^/]*", ""), r"[?#].*$", ""))
+
+
+def _contains_any(col: Column, needles: tuple[str, ...]) -> Column:
+    out = F.lit(False)
+    for n in needles:
+        out = out | col.contains(n)
+    return out
+
+
+def classify_page_type(url: Column) -> Column:
+    """'archive' | 'important' | 'other' — native transcription of
+    issue_detector.py:933-1034."""
+    path = _path_of(url)
+    is_archive = (
+        _contains_any(path, _ARCHIVE_SUBSTRINGS)
+        | _contains_any(url, _ARCHIVE_SUBSTRINGS)
+        | path.rlike(r"/\d{4}/(\d{2}/)?(\d{2}/)?$")
+        | url.contains("page=")
+        | url.contains("paged=")
+    )
+    is_important = (
+        (path == "/") | (path == "")
+        | _contains_any(path, _IMPORTANT_SUBSTRINGS)
+        | path.rlike(r"/\d{4}/\d{2}/\d{2}/[a-z0-9-]+")
+        # single >3-char slug => important (issue_detector.py:1026-1029)
+        | path.rlike(r"^/[^/]{4,}/?$")
+    )
+    return (
+        F.when(is_archive, F.lit("archive"))
+        .when(is_important, F.lit("important"))
+        .otherwise(F.lit("other"))
+    )
+
+
+def is_archive_or_utility(url: Column) -> Column:
+    return (classify_page_type(url) == "archive") | _contains_any(
+        _path_of(url), _UTILITY_SUBSTRINGS
+    )
+
+
+def _norm_cmp(col: Column) -> Column:
+    """normalize_for_compare (issue_detector.py:61-86) as native exprs."""
+    u = F.lower(F.trim(col))
+    u = F.regexp_replace(u, r"#.*$", "")
+    # strip trailing slash except root (scheme://host/)
+    u = F.when(u.rlike(r"^https?://[^/]+/$"), u).otherwise(F.regexp_replace(u, r"/$", ""))
+    return u
+
+
+# --- per-page checks ---------------------------------------------------------
+
+_ISSUE_T = "struct<type:string, category:string, issue:string, details:string>"
+
+
+def _mk(cond: Column, typ, category: str, issue, details) -> Column:
+    typ = F.lit(typ) if isinstance(typ, str) else typ
+    issue = F.lit(issue) if isinstance(issue, str) else issue
+    details = F.lit(details) if isinstance(details, str) else details
+    return F.when(
+        cond,
+        F.struct(typ.alias("type"), F.lit(category).alias("category"),
+                 issue.alias("issue"), details.alias("details")),
+    )
+
+
+def per_page_issues(pages: DataFrame) -> DataFrame:
+    """All per-page checks in one JVM pass. Citations inline; severity
+    downgrade rules (archive/utility) transcribed from the reference."""
+    url = F.col("url")
+    title = F.col("title")
+    desc = F.col("meta_description")
+    h1 = F.col("h1")
+    status = F.col("status_code")
+    wc = F.col("word_count")
+    arch = is_archive_or_utility(url)
+    ptype = classify_page_type(url)
+    robots = F.lower(F.coalesce(F.col("robots"), F.lit("")))
+    noindex = robots.contains("noindex")
+    nofollow = robots.contains("nofollow")
+    tlen = F.length(title)
+    dlen = F.length(desc)
+    parsed_html = F.col("content_type").contains("text/html") & F.col("error").isNull()
+
+    checks = [
+        # connectivity (issue_detector.py:30-38)
+        _mk(status == 0, "error", "Connectivity", "Connection Error",
+            F.coalesce(F.col("error"), F.lit("Failed to connect to server or request blocked"))),
+        # titles (issue_detector.py:88-151)
+        _mk(parsed_html & (tlen == 0),
+            F.when(arch, "warning").otherwise("error"), "SEO",
+            F.when(arch, "Missing Title Tag (Archive/Utility)").otherwise("Missing Title Tag"),
+            "Page has no title tag"),
+        _mk(tlen > 60, "warning", "SEO", "Page Titles: Over 60 Characters",
+            F.concat(F.lit("Title is "), tlen.cast("string"), F.lit(" characters"))),
+        _mk(tlen * 9 > 561, "warning", "SEO", "Page Titles: Over 561 Pixels",
+            F.concat(F.lit("Title is approx "), (tlen * 9).cast("string"), F.lit(" pixels"))),
+        _mk((tlen > 0) & (tlen < 30), "warning", "SEO", "Title Too Short",
+            F.concat(F.lit("Title is "), tlen.cast("string"),
+                     F.lit(" characters (recommended: 30-60)"))),
+        # meta description (issue_detector.py:153-207)
+        _mk(parsed_html & (dlen == 0),
+            F.when(ptype == "archive", "info").otherwise("warning"), "SEO",
+            F.when(ptype == "archive", "Meta Description: Missing (Archive/Utility)")
+            .otherwise("Meta Description: Missing"),
+            "Page has no meta description"),
+        _mk(dlen > 155, "warning", "SEO", "Meta Description: Over 155 Characters",
+            F.concat(F.lit("Description is "), dlen.cast("string"), F.lit(" characters"))),
+        _mk(dlen * 9 > 985, "warning", "SEO", "Meta Description: Over 985 Pixels",
+            F.concat(F.lit("Description is approx "), (dlen * 9).cast("string"), F.lit(" pixels"))),
+        # headings (issue_detector.py:209-280)
+        _mk(parsed_html & (F.size("h1_list") == 0),
+            F.when(arch, "warning").otherwise("error"), "SEO",
+            F.when(arch, "Missing H1 Tag (Archive/Utility)").otherwise("Missing H1 Tag"),
+            "Page has no H1 heading"),
+        _mk(F.size("h1_list") > 1, "warning", "SEO", "H1: Multiple",
+            F.concat(F.lit("Page has "), F.size("h1_list").cast("string"), F.lit(" H1 tags"))),
+        _mk(F.size(F.array_distinct("h1_list")) < F.size("h1_list"),
+            "warning", "SEO", "H1: Duplicate", "Page has duplicate H1 tags"),
+        _mk(F.length(h1) > 70, "warning", "SEO", "H1: Over 70 Characters",
+            F.concat(F.lit("H1 is "), F.length(h1).cast("string"), F.lit(" characters"))),
+        # duplicate H2 within page (issue_detector.py:310-351, A6)
+        _mk(F.size(F.array_distinct("h2")) < F.size("h2"),
+            F.when(arch, "info").otherwise("warning"), "SEO",
+            F.when(arch, "H2: Duplicate (Archive/Utility)").otherwise("H2: Duplicate"),
+            "Page has duplicate H2 tags"),
+        # content (issue_detector.py:353-366)
+        _mk(parsed_html & (status == 200) & (wc < 300), "warning", "Content", "Thin Content",
+            F.concat(F.lit("Page has only "), wc.cast("string"),
+                     F.lit(" words (recommended: ≥300)"))),
+        # status codes (issue_detector.py:367-399, C8)
+        _mk((status >= 400) & (status < 500), "error", "Technical",
+            "Response Codes: External Client Error (4xx)",
+            F.concat(F.lit("HTTP "), status.cast("string"))),
+        _mk(status >= 500, "error", "Technical",
+            "Response Codes: External Server Error (5xx)",
+            F.concat(F.lit("HTTP "), status.cast("string"))),
+        _mk((status >= 300) & (status < 400), "info", "Technical",
+            "Response Codes: Internal Redirection (3xx)",
+            "URL redirects to another location"),
+        # soft 404 (issue_detector.py:405-451, C10)
+        _mk(
+            (status == 200)
+            & (_contains_any(F.lower(title), _SOFT404_PHRASES)
+               | _contains_any(F.lower(h1), _SOFT404_PHRASES)),
+            F.when(_contains_any(F.lower(title), _SOFT404_PHRASES)
+                   & _contains_any(F.lower(h1), _SOFT404_PHRASES), "error")
+            .otherwise("warning"),
+            "Technical", "Soft 404: Returns 200 but appears broken",
+            F.concat(F.lit('Title "'), F.substring(title, 1, 60),
+                     F.lit('" or H1 suggests this is an error page'))),
+        # redirect chains (issue_detector.py:453-505, C13)
+        _mk(
+            F.size(F.col("redirect_chain"))
+            > F.size(F.array_distinct(F.expr(
+                "transform(redirect_chain, c -> c.url)"))),
+            "error", "Technical", "Redirect Loop Detected",
+            "URL redirects back to itself"),
+        _mk(F.col("redirect_count") > 3, "warning", "Technical", "Long Redirect Chain",
+            F.concat(F.col("redirect_count").cast("string"),
+                     F.lit(" redirects before final destination"))),
+        _mk((F.col("redirect_count") > 1) & (F.col("redirect_count") <= 3),
+            "info", "Technical", "Redirect Chain",
+            F.concat(F.col("redirect_count").cast("string"), F.lit(" redirects"))),
+        # canonical (issue_detector.py:505-595)
+        _mk(parsed_html & (F.length("canonical_url") == 0) & ~noindex & (status == 200),
+            F.when(ptype == "archive", "warning").otherwise("error"),
+            "Technical", "Missing Canonical URL",
+            F.when(ptype == "important", F.lit("Indexable content page has no canonical URL"))
+            .when(ptype == "archive",
+                  F.lit("Archive page missing canonical (Review if this should be indexed)"))
+            .otherwise(F.lit("Page has no canonical URL specified"))),
+        _mk(
+            (F.length("canonical_url") > 0)
+            & (_norm_cmp(F.col("canonical_url")) != _norm_cmp(url)),
+            F.when(
+                F.col("canonical_url").rlike(r"^https?://[^/]+/?$") & ~url.rlike(r"^https?://[^/]+/?$"),
+                "error",
+            ).otherwise("warning"),
+            "Technical", "Canonicals: Canonicalised",
+            F.concat(F.lit("Page is canonicalised to: "), F.col("canonical_url"))),
+        # mobile (issue_detector.py:597-608)
+        _mk(parsed_html & (status == 200) & (F.length("viewport") == 0),
+            "error", "Mobile", "Missing Viewport Meta Tag",
+            "Page is not mobile-optimized (no viewport meta tag)"),
+        # accessibility: images missing alt (issue_detector.py:610-651, A4)
+        _mk(
+            F.size(F.expr("filter(images, i -> i.alt = '')")) > 0,
+            "warning", "Accessibility", "Images Missing Alt Text",
+            F.concat(F.size(F.expr("filter(images, i -> i.alt = '')")).cast("string"),
+                     F.lit(" images without alt text"))),
+        # indexability (issue_detector.py:873-931)
+        _mk(noindex,
+            F.when(ptype == "archive", "info")
+            .when(ptype == "important", "error").otherwise("warning"),
+            "Indexability", "Directives: Noindex",
+            F.when(ptype == "archive", F.lit("Source: HTML Meta Tag (Expected for archive page)"))
+            .when(ptype == "important",
+                  F.lit("Source: HTML Meta Tag (Critical: Important page is blocked!)"))
+            .otherwise(F.lit("Source: HTML Meta Tag"))),
+        _mk(nofollow, "warning", "Indexability", "Directives: Nofollow",
+            "Source: HTML Meta Tag"),
+    ]
+    arr = F.array_compact(F.array(*[c.otherwise(F.lit(None).cast(_ISSUE_T)) for c in checks]))
+    return (
+        pages.select(url.alias("url"), F.explode(arr).alias("i"))
+        .select("url", "i.*")
+    )
+
+
+# --- whole-crawl checks ------------------------------------------------------
+
+def links_to_redirects(pages: DataFrame, links: DataFrame) -> DataFrame:
+    """J4 (issue_detector.py:1628-1718): internal links whose target is a
+    3xx page, grouped by source page."""
+    redirecting = pages.filter(
+        (F.col("status_code") >= 300) & (F.col("status_code") < 400)
+    ).select(_norm_cmp(F.col("url")).alias("_t"), F.col("url").alias("redirect_url"))
+    j = (
+        links.filter("is_internal")
+        .withColumn("_t", _norm_cmp(F.col("target_url")))
+        .join(redirecting, "_t")
+    )
+    return (
+        j.groupBy("source_url")
+        .agg(
+            F.count("*").alias("n_links_to_redirects"),
+            F.sort_array(F.collect_set("redirect_url")).alias("redirect_targets"),
+        )
+        .select(
+            F.col("source_url").alias("url"), F.lit("warning").alias("type"),
+            F.lit("Links").alias("category"),
+            F.lit("Internal Links to Redirects").alias("issue"),
+            F.concat(F.col("n_links_to_redirects").cast("string"),
+                     F.lit(" internal links point to redirecting URLs")).alias("details"),
+            "n_links_to_redirects", "redirect_targets",
+        )
+    )
+
+
+def broken_link_sources(pages: DataFrame, links: DataFrame) -> DataFrame:
+    """J5 (issue_detector.py:1720-1815): pages with status>=400 or 0
+    joined back to their linking sources."""
+    broken = pages.filter(
+        (F.col("status_code") >= 400) | (F.col("status_code") == 0)
+    ).select(F.col("url").alias("target_url"), "status_code")
+    return (
+        links.join(broken, "target_url")
+        .groupBy("target_url", "status_code")
+        .agg(F.sort_array(F.collect_set("source_url")).alias("linked_from"))
+        .select(
+            F.col("target_url").alias("url"), F.lit("error").alias("type"),
+            F.lit("Links").alias("category"), F.lit("Broken Link Target").alias("issue"),
+            F.concat(F.lit("HTTP "), F.col("status_code").cast("string"),
+                     F.lit(" linked from "), F.size("linked_from").cast("string"),
+                     F.lit(" pages")).alias("details"),
+            "linked_from",
+        )
+    )
+
+
+def hreflang_reciprocity(pages: DataFrame) -> DataFrame:
+    """J6 (issue_detector.py:1817-1969): explode per-page hreflang edges;
+    (A -> B) without a matching (B -> A) is non-reciprocal."""
+    edges = (
+        pages.select(F.col("url").alias("source"), F.explode("hreflang").alias("h"))
+        .select("source", F.col("h.lang").alias("lang"), F.col("h.url").alias("target"))
+        .filter(F.col("target") != F.col("source"))
+    )
+    back = edges.select(
+        F.col("source").alias("b_source"), F.col("target").alias("b_target")
+    ).distinct()
+    j = edges.join(
+        back,
+        (edges["target"] == back["b_source"]) & (edges["source"] == back["b_target"]),
+        "left",
+    )
+    return j.filter(F.col("b_source").isNull()).select(
+        F.col("source").alias("url"), F.lit("warning").alias("type"),
+        F.lit("International").alias("category"),
+        F.lit("Hreflang: Missing Return Link").alias("issue"),
+        F.concat(F.lit("hreflang to "), F.col("target"),
+                 F.lit(" has no return link")).alias("details"),
+        F.col("target").alias("hreflang_target"), "lang",
+    )
+
+
+def sitemap_cross_ref(sitemap_urls: DataFrame, pages: DataFrame) -> DataFrame:
+    """J3 'dirty sitemap' (issue_detector.py:1492-1626): left-join sitemap
+    URLs to crawl results on normalized URL; classify."""
+    sm = sitemap_urls.select(
+        F.col("url").alias("sitemap_url"), _norm_cmp(F.col("url")).alias("_k")
+    ).distinct()
+    pg = pages.select(
+        _norm_cmp(F.col("url")).alias("_k"), "status_code",
+        F.lower(F.coalesce("robots", F.lit(""))).alias("_robots"),
+        F.col("canonical_url"), F.col("url").alias("crawled_url"),
+    )
+    j = sm.join(pg, "_k", "left")
+    cls = (
+        F.when(F.col("crawled_url").isNull(), "not_crawled")
+        .when(F.col("status_code") >= 400, "error")
+        .when((F.col("status_code") >= 300) & (F.col("status_code") < 400), "redirect")
+        .when(F.col("_robots").contains("noindex"), "noindex")
+        .when(
+            (F.length("canonical_url") > 0)
+            & (_norm_cmp(F.col("canonical_url")) != F.col("_k")), "non_canonical")
+        .otherwise("valid")
+    )
+    return j.select("sitemap_url", cls.alias("classification"), "status_code")
+
+
+def sitemap_health(sitemap_urls: DataFrame, pages: DataFrame) -> DataFrame:
+    """A7: conditional tallies over the J3 classification."""
+    c = sitemap_cross_ref(sitemap_urls, pages)
+    return c.agg(
+        F.count("*").alias("total"),
+        *[
+            F.sum(F.when(F.col("classification") == k, 1).otherwise(0)).alias(k)
+            for k in ("valid", "error", "redirect", "noindex", "non_canonical", "not_crawled")
+        ],
+    )
+
+
+# --- J7: duplicate-content detection (blocked, provably lossless) ----------
+
+DUP_WEIGHTS = {"title": 0.35, "desc": 0.35, "h1": 0.20, "word_count": 0.10}
+
+
+def duplicate_content_pairs(pages: DataFrame, threshold: float = 0.85) -> DataFrame:
+    """J7 (issue_detector.py:1299-1431): weighted SequenceMatcher
+    similarity over (title, meta_description, h1, word_count); pairs with
+    score >= threshold are duplicates.
+
+    Blocking (lossless for threshold > 0.65): a flagged pair needs
+    title_sim >= (threshold-0.65)/0.35 and desc_sim >= (threshold-0.65)/0.35,
+    hence both titles and both descriptions non-empty, and SequenceMatcher
+    ratio = 2M/(l1+l2) <= 2*min(l)/ (l1+l2) forces a length-ratio bound
+    min/max >= r/(2-r). We block on title-length bands sized to that
+    bound (each side joins its own band and the next), then verify the
+    exact staged formula per pair in an Arrow UDF — identical math to the
+    reference, including its early exits (which only skip pairs that
+    cannot reach the threshold)."""
+    import math
+
+    need = (threshold - (1.0 - DUP_WEIGHTS["title"])) / DUP_WEIGHTS["title"]
+    if need <= 0:
+        raise ValueError("threshold too low for lossless title blocking; use <=0.65 path")
+    ratio_bound = need / (2.0 - need)  # min/max title length
+    base = 1.0 / ratio_bound
+
+    d = pages.select(
+        "url",
+        F.lower(F.trim(F.coalesce("title", F.lit("")))).alias("t"),
+        F.lower(F.trim(F.coalesce("meta_description", F.lit("")))).alias("d"),
+        F.lower(F.trim(F.coalesce("h1", F.lit("")))).alias("h"),
+        F.coalesce("word_count", F.lit(0)).alias("wc"),
+    ).filter((F.length("t") > 0) & (F.length("d") > 0))
+
+    band = F.floor(F.log(float(base), F.greatest(F.length("t"), F.lit(1)).cast("double"))).cast("int")
+    d = d.withColumn("band", band)
+    # a valid pair's title-length bands differ by at most 1, but the
+    # url_a<url_b pair order is independent of length order — probe both
+    # neighbours (duplicates removed below)
+    left = d.withColumn(
+        "probe", F.explode(F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1))
+    )
+    right = d.withColumnRenamed("band", "probe")
+    pairs = left.alias("a").join(
+        right.alias("b"),
+        (F.col("a.probe") == F.col("b.probe")) & (F.col("a.url") < F.col("b.url")),
+    ).select(
+        F.col("a.url").alias("url_a"), F.col("a.t").alias("t_a"),
+        F.col("a.d").alias("d_a"), F.col("a.h").alias("h_a"), F.col("a.wc").alias("wc_a"),
+        F.col("b.url").alias("url_b"), F.col("b.t").alias("t_b"),
+        F.col("b.d").alias("d_b"), F.col("b.h").alias("h_b"), F.col("b.wc").alias("wc_b"),
+    ).dropDuplicates(["url_a", "url_b"])
+
+    w = DUP_WEIGHTS
+
+    def score_pairs(batches):
+        from difflib import SequenceMatcher
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.wc_a and r.wc_b:
+                    mx, mn = max(r.wc_a, r.wc_b), min(r.wc_a, r.wc_b)
+                    wc_sim = mn / mx if mx > 0 else 0.0
+                else:
+                    wc_sim = 0.0
+                score = wc_sim * w["word_count"]
+                max_pot = 1.0 - w["word_count"] + score
+                if max_pot < threshold:
+                    continue
+                t_sim = SequenceMatcher(None, r.t_a, r.t_b).ratio() if (r.t_a and r.t_b) else 0.0
+                score += t_sim * w["title"]
+                max_pot = max_pot - w["title"] + t_sim * w["title"]
+                if max_pot < threshold:
+                    continue
+                d_sim = SequenceMatcher(None, r.d_a, r.d_b).ratio() if (r.d_a and r.d_b) else 0.0
+                score += d_sim * w["desc"]
+                max_pot = max_pot - w["desc"] + d_sim * w["desc"]
+                if max_pot < threshold:
+                    continue
+                h_sim = SequenceMatcher(None, r.h_a, r.h_b).ratio() if (r.h_a and r.h_b) else 0.0
+                score += h_sim * w["h1"]
+                if score >= threshold:
+                    rows.append({"url_a": r.url_a, "url_b": r.url_b,
+                                 "similarity": round(score, 6)})
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                columns=["url_a", "url_b", "similarity"])
+
+    return pairs.mapInPandas(
+        score_pairs, schema="url_a string, url_b string, similarity double"
+    )
+
+
+def duplicate_content_issues(pages: DataFrame, threshold: float = 0.85) -> DataFrame:
+    """Two issue rows per duplicate pair (issue_detector.py:1404-1420)."""
+    p = duplicate_content_pairs(pages, threshold)
+    pct = F.format_number(F.col("similarity") * 100, 1)
+    a = p.select(
+        F.col("url_a").alias("url"),
+        F.concat(F.lit("Content is "), pct, F.lit("% similar to "), F.col("url_b")).alias("details"),
+    )
+    b = p.select(
+        F.col("url_b").alias("url"),
+        F.concat(F.lit("Content is "), pct, F.lit("% similar to "), F.col("url_a")).alias("details"),
+    )
+    return a.unionByName(b).select(
+        "url", F.lit("warning").alias("type"), F.lit("Duplication").alias("category"),
+        F.lit("Duplicate Content Detected").alias("issue"), "details",
+    )

@@ -18,9 +18,12 @@ max_urls (crawler.py:778-780,827-830) and discards over-depth pops
 without consuming budget (crawler.py:788-790); reproduced by cutting
 the wave at the seq of the remaining-budget-th depth-eligible row.
 
-State (seen / pending / pattern_counts / traps) lives in DataFrames,
-localCheckpoint'ed per wave to truncate lineage — on a cluster these
-are the Iceberg-style snapshot tables (storage/tableio.py).
+Checkpoint/resume: with a ``checkpoint_dir``, every wave commits the
+state tables (seen/pending/counts/traps overwrite; pages/links/sources
+append) through storage.tableio's snapshot manifests and pins them in an
+atomic crawl-level checkpoint — the engine analogue of the reference's
+resume path (crawler.py:443-565) with snapshot isolation instead of its
+'running'-status crash scan (crawl_db.py:657-677).
 """
 
 from __future__ import annotations
@@ -33,6 +36,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from librecrawl_spark.config import CrawlConfig
 from librecrawl_spark.operators import extract as X, frontier as FR
+from librecrawl_spark.storage.tableio import TableIO
+
+STATE_TABLES = ("seen", "pending", "counts", "traps")
 
 
 @dataclass
@@ -40,7 +46,7 @@ class CrawlResult:
     pages: DataFrame
     links: DataFrame
     seen: DataFrame          # url, depth, seq (discovery order)
-    traps: DataFrame         # signature/pattern, example_url, count
+    traps: DataFrame         # pattern, example_url, count
     lineage: list = field(default_factory=list)
     stats: dict = field(default_factory=dict)
 
@@ -55,6 +61,8 @@ class CrawlEngine:
         config: CrawlConfig,
         seed_urls: list[str] | None = None,
         politeness: bool = False,
+        checkpoint_dir: str | None = None,
+        max_waves: int | None = None,
     ):
         self.spark = spark
         self.documents = documents
@@ -64,15 +72,12 @@ class CrawlEngine:
         self.base_domain = urlparse(base_url).netloc
         self.seed_urls = seed_urls or [base_url]
         self.politeness = politeness
+        self.tio = TableIO(checkpoint_dir) if checkpoint_dir else None
+        self.max_waves = max_waves
 
-    def run(self) -> CrawlResult:
+    # ------------------------------------------------------------------ state
+    def _fresh_state(self) -> dict:
         spark = self.spark
-        cfg = self.config
-
-        fetch_map = X.resolve_redirects(X.http_meta(self.documents)).persist()
-        fetch_map.count()
-
-        # --- seed frontier (link_manager.add_url, dedup preserving order) --
         seed_rows, seed_seen = [], set()
         for u in self.seed_urls:
             if u not in seed_seen:
@@ -81,36 +86,74 @@ class CrawlEngine:
         pending = spark.createDataFrame(
             seed_rows, schema="url string, depth int, seq long, wave int"
         )
-        seen = pending.select("url", "depth", "seq")
-        counts = spark.createDataFrame([], schema="signature string, cnt long")
-        traps = spark.createDataFrame(
-            [], schema="signature string, example_url string, hits long, first_wave int"
+        return {
+            "pending": pending,
+            "seen": pending.select("url", "depth", "seq"),
+            "counts": spark.createDataFrame([], schema="signature string, cnt long"),
+            "traps": spark.createDataFrame(
+                [], schema="signature string, example_url string, hits long, first_wave int"
+            ),
+            "crawled": 0,
+            "next_seq": len(seed_rows),
+            "wave": 0,
+        }
+
+    def _resume_state(self, ck: dict) -> dict:
+        st = {
+            name: self.tio.read(self.spark, name, ck["tables"][name])
+            for name in STATE_TABLES
+        }
+        st.update(ck["state"])
+        return st
+
+    def _commit_state(self, st: dict, pages: DataFrame, links: DataFrame,
+                      sources: DataFrame) -> None:
+        snaps = {}
+        snaps["pages"] = self.tio.commit("pages", pages, mode="append")
+        snaps["links"] = self.tio.commit("links", links, mode="append")
+        snaps["sources"] = self.tio.commit("sources", sources, mode="append")
+        for name in STATE_TABLES:
+            snaps[name] = self.tio.commit(name, st[name], mode="overwrite")
+        self.tio.checkpoint(
+            {k: st[k] for k in ("crawled", "next_seq", "wave")}, snaps
         )
-        empty_cand = spark.createDataFrame(
-            [], schema=("clean_url string, link_idx int, signature string, host string, "
-                        "src_url string, src_seq long, depth int"),
-        )
+
+    # -------------------------------------------------------------------- run
+    def run(self) -> CrawlResult:
+        spark = self.spark
+        cfg = self.config
+
+        fetch_map = X.resolve_redirects(X.http_meta(self.documents)).persist()
+        fetch_map.count()
+
+        ck = self.tio.load_checkpoint() if self.tio else None
+        st = self._resume_state(ck) if ck else self._fresh_state()
+        resumed = ck is not None
 
         pages_parts: list[DataFrame] = []
         links_parts: list[DataFrame] = []
-        sources_parts: list[DataFrame] = [empty_cand.select(
-            F.col("clean_url").alias("target_url"), F.col("src_url").alias("source_url"))]
+        sources_parts: list[DataFrame] = []
         lineage: list[dict] = []
-        crawled = 0
-        next_seq = len(seed_rows)
-        wave = 0
+        waves_this_run = 0
 
-        while crawled < cfg.max_urls:
+        while st["crawled"] < cfg.max_urls:
+            if self.max_waves is not None and waves_this_run >= self.max_waves:
+                break
             t0 = time.time()
+            pending, seen, counts = st["pending"], st["seen"], st["counts"]
             eligible = pending.filter(F.col("depth") <= cfg.max_depth)
             n_eligible = eligible.count()
             if n_eligible == 0:
+                st["pending"] = pending.limit(0)
+                if self.tio:
+                    self._commit_state(
+                        st, self._empty_pages(), self._empty_links(), self._empty_sources()
+                    )
                 break
-            remaining = cfg.max_urls - crawled
+            remaining = cfg.max_urls - st["crawled"]
             fetch_n = min(remaining, n_eligible)
             cut_seq = (
-                eligible.orderBy("seq").limit(fetch_n)
-                .agg(F.max("seq")).collect()[0][0]
+                eligible.orderBy("seq").limit(fetch_n).agg(F.max("seq")).collect()[0][0]
             )
             fetch_set = eligible.filter(F.col("seq") <= cut_seq)
             leftover = pending.filter(F.col("seq") > cut_seq)
@@ -121,6 +164,7 @@ class CrawlEngine:
                 )
                 leftover = leftover.unionByName(deferred)
 
+            wave = st["wave"]
             fetch_set = fetch_set.withColumn("wave", F.lit(wave))
             fetched = X.join_fetch(
                 FR.salted_repartition(fetch_set, salt_buckets=cfg.host_salt_buckets),
@@ -130,15 +174,18 @@ class CrawlEngine:
                 fetched, self.base_domain,
                 crawl_external=cfg.crawl_external, max_depth=cfg.max_depth,
             ).persist()
-            n_fetched = pages.count()
-            crawled += n_fetched
+            agg = pages.agg(
+                F.count("*").alias("n"), F.min("seq").alias("lo"), F.max("seq").alias("hi")
+            ).collect()[0]
+            n_fetched, wave_lo, wave_hi = agg["n"], agg["lo"], agg["hi"]
+            st["crawled"] += n_fetched
 
             # report links: dedup on (source,target) keeping first in doc
             # order (link_manager.py:189-195; pages are fetched once, so
             # within-page dedup == global dedup)
             wave_links = (
-                pages.select("url", "seq", F.posexplode("links").alias("pos", "l"))
-                .select("seq", "pos", "l.*")
+                pages.select("url", F.posexplode("links").alias("pos", "l"))
+                .select("pos", "l.*")
                 .withColumn(
                     "_rn",
                     F.row_number().over(
@@ -146,11 +193,9 @@ class CrawlEngine:
                     ),
                 )
                 .filter("_rn = 1")
-                .drop("_rn", "pos", "seq")
+                .drop("_rn", "pos")
             )
-            links_parts.append(wave_links)
 
-            # frontier candidates (depth+1, extraction gate applied in UDF)
             cands = (
                 pages.select(
                     F.col("url").alias("src_url"),
@@ -160,58 +205,77 @@ class CrawlEngine:
                 )
                 .select("src_url", "src_seq", "depth", "c.*")
             )
-            sources_parts.append(
-                cands.select(F.col("clean_url").alias("target_url"),
-                             F.col("src_url").alias("source_url"))
+            wave_sources = cands.select(
+                F.col("clean_url").alias("target_url"), F.col("src_url").alias("source_url")
             )
 
             new_frontier, counts_delta, trap_hits, occ = FR.schedule_wave(
-                cands, seen, counts, self.hosts, self.base_domain, cfg, next_seq,
+                cands, seen, counts, self.hosts, self.base_domain, cfg, st["next_seq"],
+                src_seq_bounds=(int(wave_lo), int(wave_hi)) if wave_lo is not None else None,
             )
             new_frontier = new_frontier.withColumn("wave", F.lit(wave + 1)).persist()
             n_new = new_frontier.count()
 
-            # state merges
-            counts = (
+            st["counts"] = (
                 counts.join(counts_delta, "signature", "full_outer")
                 .select(
                     "signature",
                     (F.coalesce("cnt", F.lit(0)) + F.coalesce("cnt_delta", F.lit(0))).alias("cnt"),
                 )
             )
-            traps = self._merge_traps(traps, trap_hits, wave)
+            st["traps"] = self._merge_traps(st["traps"], trap_hits, wave)
+            st["seen"] = seen.unionByName(new_frontier.select("url", "depth", "seq"))
+            st["pending"] = leftover.unionByName(new_frontier)
+            st["next_seq"] += n_new
+            st["wave"] = wave + 1
 
-            seen = seen.unionByName(new_frontier.select("url", "depth", "seq"))
-            pending = leftover.unionByName(new_frontier)
-            next_seq += n_new
+            for k in ("seen", "pending", "counts", "traps"):
+                st[k] = st[k].localCheckpoint(eager=True)
 
-            # truncate lineage each wave
-            seen = seen.localCheckpoint(eager=True)
-            pending = pending.localCheckpoint(eager=True)
-            counts = counts.localCheckpoint(eager=True)
-            traps = traps.localCheckpoint(eager=True)
-
-            pages_parts.append(pages.drop("links", "candidates"))
+            pages_wave = pages.drop("links", "candidates")
+            if self.tio:
+                self._commit_state(st, pages_wave, wave_links, wave_sources)
+            else:
+                pages_parts.append(pages_wave)
+                links_parts.append(wave_links)
+                sources_parts.append(wave_sources)
             occ.unpersist()
             lineage.append({
                 "wave": wave, "pending_in": n_eligible, "fetched": n_fetched,
-                "new_frontier": n_new, "crawled_total": crawled,
+                "new_frontier": n_new, "crawled_total": st["crawled"],
                 "wall_ms": round((time.time() - t0) * 1000, 1),
             })
-            wave += 1
+            waves_this_run += 1
             if n_new == 0 and leftover.isEmpty():
                 break
 
-        # --- assemble outputs ------------------------------------------------
-        pages_all = pages_parts[0]
-        for p in pages_parts[1:]:
-            pages_all = pages_all.unionByName(p)
-        links_all = (
-            links_parts[0] if links_parts
-            else self.spark.createDataFrame([], schema=f"struct<{X.LINK_STRUCT}>")
+        return self._finalize(st, pages_parts, links_parts, sources_parts,
+                              lineage, resumed)
+
+    # --------------------------------------------------------------- finalize
+    def _empty_pages(self) -> DataFrame:
+        return self.spark.createDataFrame([], schema=X.PAGE_SCHEMA).drop(
+            "links", "candidates"
         )
-        for l in links_parts[1:]:
-            links_all = links_all.unionByName(l)
+
+    def _empty_links(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], schema=f"{X.LINK_STRUCT}".replace(": ", " ")
+        )
+
+    def _empty_sources(self) -> DataFrame:
+        return self.spark.createDataFrame([], schema="target_url string, source_url string")
+
+    def _finalize(self, st, pages_parts, links_parts, sources_parts, lineage,
+                  resumed) -> CrawlResult:
+        if self.tio:
+            pages_all = self.tio.read(self.spark, "pages")
+            links_all = self.tio.read(self.spark, "links")
+            sources_all = self.tio.read(self.spark, "sources")
+        else:
+            pages_all = self._union(pages_parts) or self._empty_pages()
+            links_all = self._union(links_parts) or self._empty_links()
+            sources_all = self._union(sources_parts) or self._empty_sources()
 
         # J1: patch target_status from crawl results (link_manager.py:269-278)
         status_map = pages_all.select(
@@ -221,9 +285,6 @@ class CrawlEngine:
 
         # J2: linked_from — distinct sources per URL from both tracking paths
         # (link_manager.py:73-76 + :183-187), compared as sets
-        sources_all = sources_parts[0]
-        for s in sources_parts[1:]:
-            sources_all = sources_all.unionByName(s)
         sources_all = sources_all.unionByName(
             links_all.select("target_url", "source_url")
         )
@@ -240,16 +301,26 @@ class CrawlEngine:
             )
         )
 
-        traps_out = traps.select(
+        traps_out = st["traps"].select(
             F.col("signature").alias("pattern"), "example_url",
             F.col("hits").alias("count"),
         )
         stats = {
-            "discovered": next_seq,
-            "crawled": crawled,
-            "waves": wave,
+            "discovered": st["next_seq"],
+            "crawled": st["crawled"],
+            "waves": st["wave"],
+            "resumed": resumed,
         }
-        return CrawlResult(pages_all, links_all, seen, traps_out, lineage, stats)
+        return CrawlResult(pages_all, links_all, st["seen"], traps_out, lineage, stats)
+
+    @staticmethod
+    def _union(parts: list[DataFrame]) -> DataFrame | None:
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     @staticmethod
     def _merge_traps(traps_prev: DataFrame, trap_hits: DataFrame, wave: int) -> DataFrame:

@@ -37,6 +37,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    # shuffle/spill on tmpfs when available: the sandbox's virtual disk
+    # serializes concurrent shuffle writers (measured 4.7x degradation at
+    # 32 threads); on a real cluster this is per-executor local NVMe
+    shm = os.environ.get("SPARK_LOCAL_DIRS_OVERRIDE", "/dev/shm/spark-local")
+    try:
+        os.makedirs(shm, exist_ok=True)
+        b = b.config("spark.local.dir", shm)
+    except OSError:
+        pass
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

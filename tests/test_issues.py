@@ -1,0 +1,177 @@
+"""Issue-detection tests: per-page checks against expected fixtures and
+the J7 duplicate-content join against a direct O(n^2) transcription of
+the reference algorithm (issue_detector.py:1299-1431)."""
+
+from difflib import SequenceMatcher
+
+import pytest
+from pyspark.sql import functions as F
+
+from librecrawl_spark.operators import issues as I
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    from librecrawl_spark.config import CrawlConfig
+    from librecrawl_spark.fixtures.sitegen import SiteGenConfig, generate_site, site_to_spark
+    from librecrawl_spark.plans.crawl import CrawlEngine
+
+    site = generate_site(SiteGenConfig(seed=42, n_hosts=4, pages_base_host=18, pages_other_host=5))
+    docs, hosts, _ = site_to_spark(spark, site)
+    res = CrawlEngine(spark, docs, hosts, site.base_url,
+                      CrawlConfig(max_depth=3, max_urls=100, discover_sitemaps=False),
+                      seed_urls=[s["url"] for s in site.seeds]).run()
+    return res.pages.persist(), res.links.persist()
+
+
+def test_per_page_issue_shapes(pages):
+    pg, _ = pages
+    iss = I.per_page_issues(pg)
+    rows = iss.collect()
+    assert rows, "fixture pathologies must produce issues"
+    assert set(iss.columns) == {"url", "type", "category", "issue", "details"}
+    assert {r["type"] for r in rows} <= {"error", "warning", "info"}
+    names = {r["issue"] for r in rows}
+    # pathologies the crawl reliably reaches in this fixture
+    for expected in ("Missing Title Tag", "Thin Content",
+                     "Response Codes: External Client Error (4xx)"):
+        assert any(expected in n for n in names), f"missing {expected} in {names}"
+
+
+def test_per_page_issue_unit_rows(spark):
+    """Targeted unit rows for checks the crawl fixture may not reach:
+    missing description, noindex/nofollow, viewport, soft-404."""
+    from librecrawl_spark.operators.extract import PAGE_SCHEMA
+    from pyspark.sql import Row
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL(PAGE_SCHEMA)
+    schema = StructType([f for f in schema.fields if f.name not in ("links", "candidates")])
+    base = {f.name: None for f in schema.fields}
+    base.update(url="https://x.example/some-page", depth=0, seq=0, wave=0,
+                status_code=200, content_type="text/html", size=9000,
+                is_internal=True, error=None, redirect_count=0, redirects=[],
+                redirect_chain=[], title="A fine title of reasonable length here",
+                meta_description="", h1="Welcome", h1_list=["Welcome"],
+                headings_structure=[], h2=[], h3=[], word_count=500,
+                canonical_url="https://x.example/some-page", robots="",
+                viewport="width=device-width", images=[], internal_links=1,
+                external_links=0, hreflang=[], json_ld_count=0)
+    rows = [
+        dict(base),  # clean page: only what the defaults trigger
+        dict(base, url="https://x.example/p2", robots="noindex, nofollow"),
+        dict(base, url="https://x.example/p3", viewport=""),
+        dict(base, url="https://x.example/p4", title="404 Page Not Found",
+             h1="page not found"),
+    ]
+    df = spark.createDataFrame([Row(**r) for r in rows], schema)
+    iss = I.per_page_issues(df)
+    by_url = {}
+    for r in iss.collect():
+        by_url.setdefault(r["url"], set()).add(r["issue"])
+    assert "Meta Description: Missing" in by_url["https://x.example/some-page"]
+    assert "Directives: Noindex" in by_url["https://x.example/p2"]
+    assert "Directives: Nofollow" in by_url["https://x.example/p2"]
+    assert "Missing Viewport Meta Tag" in by_url["https://x.example/p3"]
+    assert "Soft 404: Returns 200 but appears broken" in by_url["https://x.example/p4"]
+    # soft-404 with both title+h1 signals is an error (issue_detector.py:459-462)
+    types = {(r["issue"], r["type"]) for r in iss.filter("url = 'https://x.example/p4'").collect()}
+    assert ("Soft 404: Returns 200 but appears broken", "error") in types
+
+
+def test_per_page_issues_match_manual(pages):
+    """Spot-check exact per-row agreement with a transcription for the
+    title checks (issue_detector.py:88-151)."""
+    pg, _ = pages
+    rows = pg.select("url", "title", "status_code", "content_type", "error").collect()
+    iss = I.per_page_issues(pg)
+    got_missing = {r["url"] for r in iss.filter(F.col("issue").startswith("Missing Title Tag")).collect()}
+    want_missing = {
+        r["url"] for r in rows
+        if "text/html" in (r["content_type"] or "") and r["error"] is None
+        and not (r["title"] or "")
+    }
+    assert got_missing == want_missing
+
+
+def test_broken_link_sources(pages):
+    pg, links = pages
+    out = {r["url"]: r for r in I.broken_link_sources(pg, links).collect()}
+    broken = {r["url"] for r in pg.filter("status_code >= 400 or status_code = 0").collect()}
+    linked_broken = {
+        r["target_url"] for r in links.join(
+            pg.filter("status_code >= 400 or status_code = 0").select(F.col("url").alias("target_url")),
+            "target_url").collect()
+    }
+    assert set(out) == linked_broken
+    assert linked_broken <= broken
+
+
+def test_links_to_redirects(pages):
+    pg, links = pages
+    out = I.links_to_redirects(pg, links).collect()
+    redirecting = {r["url"] for r in pg.filter("status_code >= 300 and status_code < 400").collect()}
+    for r in out:
+        assert r["n_links_to_redirects"] > 0
+        assert set(r["redirect_targets"]) <= redirecting
+
+
+def test_duplicate_content_matches_reference_transcription(pages):
+    pg, _ = pages
+    threshold = 0.85
+    got = {
+        (r["url_a"], r["url_b"]): r["similarity"]
+        for r in I.duplicate_content_pairs(pg, threshold).collect()
+    }
+    # direct O(n^2) transcription (issue_detector.py:1299-1431)
+    rows = pg.select("url", "title", "meta_description", "h1", "word_count").collect()
+    data = [
+        {
+            "url": r["url"],
+            "title": (r["title"] or "").lower().strip(),
+            "desc": (r["meta_description"] or "").lower().strip(),
+            "h1": (r["h1"] or "").lower().strip(),
+            "wc": r["word_count"] or 0,
+        }
+        for r in rows
+    ]
+    w = {"title": 0.35, "desc": 0.35, "h1": 0.20, "word_count": 0.10}
+    want = {}
+    for i in range(len(data)):
+        for j in range(i + 1, len(data)):
+            a, b = data[i], data[j]
+            wc_sim = (min(a["wc"], b["wc"]) / max(a["wc"], b["wc"])) if (a["wc"] and b["wc"]) else 0
+            t_sim = SequenceMatcher(None, a["title"], b["title"]).ratio() if a["title"] and b["title"] else 0
+            d_sim = SequenceMatcher(None, a["desc"], b["desc"]).ratio() if a["desc"] and b["desc"] else 0
+            h_sim = SequenceMatcher(None, a["h1"], b["h1"]).ratio() if a["h1"] and b["h1"] else 0
+            score = (t_sim * w["title"] + d_sim * w["desc"] + h_sim * w["h1"]
+                     + wc_sim * w["word_count"])
+            if score >= threshold:
+                key = (min(a["url"], b["url"]), max(a["url"], b["url"]))
+                want[key] = round(score, 6)
+    assert got == want
+
+
+def test_hreflang_reciprocity(pages):
+    pg, _ = pages
+    out = I.hreflang_reciprocity(pg).collect()
+    # fixture plants hreflang pairs without return links
+    edges = {
+        (r["url"], h["url"])
+        for r in pg.select("url", "hreflang").collect()
+        for h in (r["hreflang"] or [])
+        if h["url"] != r["url"]
+    }
+    for r in out:
+        assert (r["url"], r["hreflang_target"]) in edges
+        assert (r["hreflang_target"], r["url"]) not in edges
+
+
+def test_sitemap_health(spark, pages):
+    pg, _ = pages
+    sm = spark.createDataFrame(
+        [("https://site0.example/",), ("https://site0.example/page/3",),
+         ("https://site0.example/never-crawled",)], "url string")
+    h = I.sitemap_health(sm, pg).collect()[0]
+    assert h["total"] == 3
+    assert h["not_crawled"] >= 1

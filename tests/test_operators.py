@@ -1,0 +1,265 @@
+"""Unit tests for the operator library: dedup, similarity, text,
+multimodal, sitemap, lint, exports, incremental reads."""
+
+import pytest
+from pyspark.sql import functions as F
+
+TD = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{TD}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{TD}/embeddings.parquet").persist()
+
+
+class TestDedup:
+    def test_exact_dups_on_planted(self, spark):
+        from librecrawl_spark.operators.dedup import exact_dups
+
+        df = spark.createDataFrame(
+            [(1, "hello  world"), (2, "Hello World"), (3, "other text")],
+            "doc_id long, text string",
+        )
+        out = exact_dups(df).collect()
+        assert len(out) == 1 and out[0]["n_docs"] == 2 and out[0]["keeper"] == 1
+
+    def test_minhash_lsh_finds_near_dups(self, spark):
+        from librecrawl_spark.operators.dedup import minhash_lsh_candidates
+
+        base = "the quick brown fox jumps over the lazy dog again and again " * 5
+        df = spark.createDataFrame(
+            [(1, base), (2, base + " extra tail tokens"), (3, "completely different words here")],
+            "doc_id long, text string",
+        )
+        pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_candidates(df).collect()}
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_jaccard_threshold_monotone(self, docs):
+        from librecrawl_spark.operators.dedup import ngram_jaccard_pairs
+
+        lo = ngram_jaccard_pairs(docs, threshold=0.3).count()
+        hi = ngram_jaccard_pairs(docs, threshold=0.6).count()
+        assert hi <= lo
+
+    def test_simhash_identical_docs_same_hash(self, spark):
+        from librecrawl_spark.operators.dedup import simhash
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "zz yy xx")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+        assert out[1] == out[2]
+        assert 0 <= out[1] < (1 << 16)
+
+
+class TestSimilarity:
+    def test_self_is_top1(self, emb):
+        from librecrawl_spark.operators.similarity import cosine_topk
+
+        q = [float(x) for x in emb.filter("vec_id = 7").collect()[0]["embedding"]]
+        top = cosine_topk(emb, q, k=3).collect()
+        assert top[0]["vec_id"] == 7
+        assert abs(top[0]["cos_sim"] - 1.0) < 1e-6
+        sims = [r["cos_sim"] for r in top]
+        assert sims == sorted(sims, reverse=True)
+
+    def test_lsh_topk_subset_of_brute(self, emb):
+        from librecrawl_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+
+        q = [float(x) for x in emb.filter("vec_id = 3").collect()[0]["embedding"]]
+        ann = lsh_bucket_topk(emb, q, k=5)
+        rows = ann.collect()
+        assert rows and rows[0]["vec_id"] == 3  # query's own bucket contains itself
+
+    def test_near_dups_symmetric_ids(self, emb):
+        from librecrawl_spark.operators.similarity import embedding_near_dups
+
+        out = embedding_near_dups(emb, dim=64, threshold=0.8).collect()
+        for r in out:
+            assert r["id_a"] < r["id_b"]
+            assert r["cos_sim"] >= 0.8
+
+
+class TestText:
+    def test_langid_majority_en(self, docs):
+        from librecrawl_spark.operators.text import language_id
+
+        out = language_id(docs)
+        en = out.filter("pred_lang = 'en'").count()
+        assert en > docs.count() * 0.5
+
+    def test_token_count_positive(self, docs):
+        from librecrawl_spark.operators.text import token_count
+
+        out = token_count(docs)
+        assert out.filter("n_words <= 0").count() == 0
+
+
+class TestMultimodal:
+    def test_image_features_deterministic(self, spark):
+        from librecrawl_spark.operators.multimodal import image_features, synthetic_media
+
+        m = synthetic_media(spark, 12)
+        a = sorted((r["media_id"], r["phash"]) for r in image_features(m).collect())
+        b = sorted((r["media_id"], r["phash"]) for r in image_features(m).collect())
+        assert a == b and len(a) == 8  # 2/3 of 12 are images
+
+    def test_real_decode_raises(self, spark):
+        from librecrawl_spark.operators.multimodal import image_features, synthetic_media
+
+        m = synthetic_media(spark, 3)
+        with pytest.raises(Exception):
+            image_features(m, fake=False).collect()
+
+
+class TestSitemap:
+    def test_parse_urlset(self, spark):
+        from librecrawl_spark.sources.sitemap import parse_sitemaps
+
+        df = spark.createDataFrame(
+            [("h1", '<?xml version="1.0"?><urlset><url><loc>https://a/1</loc></url>'
+                     '<url><loc>https://a/2</loc></url></urlset>'),
+             ("h2", "not xml at all")],
+            "host string, sitemap_xml string",
+        )
+        out = parse_sitemaps(df).collect()
+        assert {(r["host"], r["loc"]) for r in out} == {("h1", "https://a/1"), ("h1", "https://a/2")}
+
+    def test_sitemap_from_robots(self, spark):
+        from librecrawl_spark.sources.sitemap import sitemap_urls_from_robots
+
+        df = spark.createDataFrame(
+            [("h1", "User-agent: *\nSitemap: https://h1/sitemap.xml\nDisallow: /x")],
+            "host string, robots_txt string",
+        )
+        out = sitemap_urls_from_robots(df).collect()
+        assert out[0]["sitemap_url"] == "https://h1/sitemap.xml"
+
+    def test_fixture_sitemaps_parse(self, spark):
+        from librecrawl_spark.fixtures.sitegen import SiteGenConfig, generate_site, site_to_spark
+        from librecrawl_spark.sources.sitemap import discover_sitemap_page_urls
+
+        site = generate_site(SiteGenConfig(seed=5, n_hosts=3))
+        _, hosts, _ = site_to_spark(spark, site)
+        urls = discover_sitemap_page_urls(hosts)
+        assert urls.count() > 0
+
+
+class TestLint:
+    def test_robots_lint(self, spark):
+        from librecrawl_spark.functions.lint import lint_robots
+
+        df = spark.createDataFrame(
+            [("h1", "User-agent: *\nDisalow: /x\nCrawl-delay: fast\nDisallow: noslash\njunk line")],
+            "host string, robots_txt string",
+        )
+        out = {r["finding"] for r in lint_robots(df).collect()}
+        assert any("unknown directive" in f for f in out)
+        assert any("not numeric" in f for f in out)
+        assert any("missing ':'" in f for f in out)
+        assert any("start with" in f for f in out)
+
+    def test_llms_lint(self, spark):
+        from librecrawl_spark.functions.lint import lint_llms_txt
+
+        df = spark.createDataFrame(
+            [("h1", ""), ("h2", "no title here but long enough content to pass the length check ok"),
+             ("h3", "# Proper Site\n> description\n## Docs section with plenty of text here")],
+            "host string, llms_txt string",
+        )
+        out = {(r["host"], r["finding"]) for r in lint_llms_txt(df).collect()}
+        hosts_with_findings = {h for h, _ in out}
+        assert "h1" in hosts_with_findings and "h2" in hosts_with_findings
+        assert "h3" not in hosts_with_findings
+
+
+class TestExportsAndIncremental:
+    def test_exports_and_viz(self, spark, tmp_path):
+        from librecrawl_spark.config import CrawlConfig
+        from librecrawl_spark.fixtures.sitegen import SiteGenConfig, generate_site, site_to_spark
+        from librecrawl_spark.plans.crawl import CrawlEngine
+        from librecrawl_spark.sources import exports as E
+
+        site = generate_site(SiteGenConfig(seed=9, n_hosts=2, pages_base_host=10))
+        docs, hosts, _ = site_to_spark(spark, site)
+        res = CrawlEngine(spark, docs, hosts, site.base_url,
+                          CrawlConfig(max_urls=20, discover_sitemaps=False),
+                          seed_urls=[s["url"] for s in site.seeds]).run()
+        flat = E.pages_export(res.pages)
+        assert flat.count() == res.pages.count()
+        for f in flat.schema.fields:
+            assert not str(f.dataType).startswith(("ArrayType", "MapType", "StructType"))
+        E.write_pages_csv(res.pages, str(tmp_path / "csv"))
+        back = spark.read.option("header", True).csv(str(tmp_path / "csv"))
+        assert back.count() == flat.count()
+        nodes, edges = E.visualization_graph(res.pages, res.links, cap=5)
+        assert nodes.count() <= 5
+        stats = E.crawl_stats(res.pages, res.seen).collect()[0]
+        assert stats["crawled"] == res.stats["crawled"]
+
+    def test_incremental_reader(self, spark, tmp_path):
+        from librecrawl_spark.storage.tableio import TableIO
+        from librecrawl_spark.streaming.incremental import IncrementalReader
+
+        tio = TableIO(str(tmp_path / "inc"))
+        tio.commit("pages", spark.range(5).selectExpr("id", "'a' as v"))
+        r = IncrementalReader(tio)
+        df, snap = r.new_since(spark, None)
+        assert df.count() == 5
+        tio.commit("pages", spark.range(3).selectExpr("id + 100 as id", "'b' as v"))
+        delta, snap2 = r.new_since(spark, snap)
+        assert delta.count() == 3
+        assert {x["id"] for x in delta.collect()} == {100, 101, 102}
+        none, _ = r.new_since(spark, snap2)
+        assert none.count() == 0
+
+
+class TestMisc:
+    def test_requires_js(self, spark):
+        from librecrawl_spark.operators.misc import requires_js
+
+        raw = spark.createDataFrame(
+            [("u1", "<html>small</html>"), ("u2", "<html>same body</html>")],
+            "url string, body string")
+        ren = spark.createDataFrame(
+            [("u1", "<html>small plus lots of rendered js content here</html>"),
+             ("u2", "<html>same body</html>")],
+            "url string, body string")
+        out = {r["url"]: r["requires_js"] for r in requires_js(raw, ren).collect()}
+        assert out == {"u1": True, "u2": False}
+
+    def test_homepage_selection(self, spark):
+        from librecrawl_spark.operators.misc import homepage_of
+
+        pages = spark.createDataFrame(
+            [("https://x.example/a/b", 200, True), ("https://x.example/a", 200, True),
+             ("https://x.example/z", 404, True)],
+            "url string, status_code int, is_internal boolean")
+        hp = homepage_of(pages, "https://x.example").collect()
+        assert hp[0]["url"] == "https://x.example/a"
+
+    def test_keyword_gap(self, spark):
+        from librecrawl_spark.operators.misc import keyword_gap
+
+        ours = spark.createDataFrame([("a",), ("b",)], "keyword string")
+        comp = spark.createDataFrame([("b",), ("c",)], "keyword string")
+        out = keyword_gap(ours, comp)
+        assert {r["keyword"] for r in out["gap"].collect()} == {"c"}
+        assert {r["keyword"] for r in out["shared"].collect()} == {"b"}
+        assert {r["keyword"] for r in out["opportunity"].collect()} == {"a"}
+
+    def test_top_keywords(self, spark):
+        from librecrawl_spark.operators.misc import top_keywords
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta alpha beta gamma"), (2, "alpha beta delta")],
+            "doc_id long, text string")
+        out = top_keywords(docs, n=2, top_k=3).collect()
+        assert out[0]["gram"] == "alpha beta" and out[0]["freq"] == 3
