@@ -48,11 +48,12 @@ _WORDS = (
 ).split()
 
 
-def http_span(status=200, content_type="text/html", size=1000, redirect="", retry_after=""):
+def http_span(status=200, content_type="text/html", size=1000, redirect="",
+              retry_after="", xrobots=""):
     return {
         "kind": "http",
         "text": f"status={status};content_type={content_type};size={size};"
-        f"redirect={redirect};retry_after={retry_after}",
+        f"redirect={redirect};retry_after={retry_after};xrobots={xrobots}",
         "media_ref": "",
         "offset": 0,
     }
@@ -141,7 +142,8 @@ def generate_site(cfg: SiteGenConfig | None = None) -> Site:
                 elif m == 15 and cfg.redirect_chains:
                     status, redirect = 302, urls[0]
             size = 500 + prng.randrange(4000)
-            spans.append(http_span(status, "text/html", size, redirect, retry_after))
+            xrobots = "noindex" if (pi % 13 == 7) else ""
+            spans.append(http_span(status, "text/html", size, redirect, retry_after, xrobots))
 
             if status in (301, 302):
                 site.documents.append({"doc_id": url, "spans": spans})
@@ -165,6 +167,35 @@ def generate_site(cfg: SiteGenConfig | None = None) -> Site:
                               "media_ref": "", "offset": 0})
             spans.append({"kind": "meta", "text": f"viewport{SEP}width=device-width",
                           "media_ref": "", "offset": 0})
+            spans.append({"kind": "lang", "text": ("en", "de", "es")[pi % 3],
+                          "media_ref": "", "offset": 0})
+            if pi % 5 != 4:
+                spans.append({"kind": "charset", "text": "utf-8", "media_ref": "", "offset": 0})
+            # OpenGraph / Twitter cards on a subset
+            if pi % 4 == 1:
+                spans.append({"kind": "og", "text": f"og:title{SEP}OG Page {pi}",
+                              "media_ref": "", "offset": 0})
+                spans.append({"kind": "og", "text": f"og:type{SEP}article",
+                              "media_ref": "", "offset": 0})
+            if pi % 5 == 2:
+                spans.append({"kind": "twitter", "text": f"twitter:card{SEP}summary",
+                              "media_ref": "", "offset": 0})
+                spans.append({"kind": "twitter", "text": f"twitter:title{SEP}Tw {pi}",
+                              "media_ref": "", "offset": 0})
+            # analytics/tracking script snippets
+            if pi % 6 == 1:
+                spans.append({"kind": "script",
+                              "text": f"gtag('config', 'G-ABCDE{pi % 10}BCDE'); "
+                                      "src=https://www.googletagmanager.com/gtag/js",
+                              "media_ref": "", "offset": 0})
+            if pi % 9 == 4:
+                spans.append({"kind": "script", "text": "fbq('init', '123'); hj('x');",
+                              "media_ref": "", "offset": 0})
+            # schema.org microdata types
+            if pi % 7 == 3:
+                spans.append({"kind": "schemaorg",
+                              "text": "https://schema.org/Article",
+                              "media_ref": "", "offset": 0})
 
             # canonical: self / cross / missing
             if m not in (2, 8):

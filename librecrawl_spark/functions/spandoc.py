@@ -40,8 +40,10 @@ def parse_http(spans) -> dict:
                 "size": int(d.get("size", "0") or 0),
                 "redirect": d.get("redirect", ""),
                 "retry_after": d.get("retry_after", ""),
+                "xrobots": d.get("xrobots", ""),
             }
-    return {"status": 0, "content_type": "", "size": 0, "redirect": "", "retry_after": ""}
+    return {"status": 0, "content_type": "", "size": 0, "redirect": "",
+            "retry_after": "", "xrobots": ""}
 
 
 def _split3(text: str) -> tuple[str, str, str]:
@@ -68,15 +70,21 @@ def extract_page(url: str, spans, base_domain: str) -> dict:
     first 20 (:197), anchor text 100 chars (link_manager.py:131)."""
     title = ""
     meta: dict[str, str] = {}
+    og_tags: dict[str, str] = {}
+    twitter_tags: dict[str, str] = {}
     canonical = ""
+    lang = ""
+    charset = ""
     h1_list: list[str] = []
     headings: list[dict] = []
     h2: list[str] = []
     h3: list[str] = []
     body_texts: list[str] = []
+    script_texts: list[str] = []
     images: list[dict] = []
     hreflang: list[dict] = []
     json_ld: list[str] = []
+    schema_org: list[str] = []
 
     for s in spans:
         k = s["kind"]
@@ -87,6 +95,24 @@ def extract_page(url: str, spans, base_domain: str) -> dict:
             name = name.lower()
             if name and name not in meta:
                 meta[name] = content
+        elif k == "og":
+            # seo_extractor.py:117-125 — og: prefix stripped into og_tags
+            prop, content, _ = _split3(s["text"])
+            if prop:
+                og_tags[prop.replace("og:", "")] = content
+        elif k == "twitter":
+            # seo_extractor.py:127-137
+            name, content, _ = _split3(s["text"])
+            if name:
+                twitter_tags[name.replace("twitter:", "")] = content
+        elif k == "lang" and not lang:
+            lang = s["text"]
+        elif k == "charset" and not charset:
+            charset = s["text"]
+        elif k == "script":
+            script_texts.append(s["text"])
+        elif k == "schemaorg":
+            schema_org.append(s["text"])
         elif k == "canonical" and not canonical:
             canonical = s["text"]
         elif k in ("h1", "h2", "h3", "h4", "h5", "h6"):
@@ -137,7 +163,30 @@ def extract_page(url: str, spans, base_domain: str) -> dict:
     )
     word_count = len(_WORD_RE.findall(visible_text))
 
+    # analytics detection (seo_extractor.py:151-190) over the span-world
+    # 'html content' = script span texts
+    html_content = " ".join(script_texts)
+    ga4 = re.search(r"G-[A-Z0-9]{10}", html_content)
+    gtm = re.search(r"GTM-[A-Z0-9]+", html_content)
+    analytics = {
+        "google_analytics": bool(re.search(
+            r"gtag\(|ga\(|GoogleAnalyticsObject|google-analytics\.com|googletagmanager\.com",
+            html_content, re.IGNORECASE)),
+        "gtag": bool(ga4),
+        "ga4_id": ga4.group() if ga4 else "",
+        "gtm_id": gtm.group() if gtm else "",
+        "facebook_pixel": bool(re.search(r"fbq\(|facebook\.com/tr", html_content, re.IGNORECASE)),
+        "hotjar": bool(re.search(r"hotjar\.com|hj\(", html_content, re.IGNORECASE)),
+        "mixpanel": bool(re.search(r"mixpanel\.com|mixpanel\.track", html_content, re.IGNORECASE)),
+    }
+
     return {
+        "lang": lang,
+        "charset": charset,
+        "og_tags": og_tags,
+        "twitter_tags": twitter_tags,
+        "analytics": analytics,
+        "schema_org": schema_org,
         "title": title,
         "meta_description": meta.get("description", "").strip(),
         "h1": h1_list[0] if h1_list else "",

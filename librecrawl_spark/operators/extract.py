@@ -46,6 +46,11 @@ PAGE_SCHEMA = (
     "images array<struct<src:string, alt:string, width:string, height:string>>, "
     "internal_links int, external_links int, "
     "hreflang array<struct<lang:string, url:string>>, json_ld_count int, "
+    "lang string, charset string, og_tags map<string,string>, "
+    "twitter_tags map<string,string>, "
+    "analytics struct<google_analytics:boolean, gtag:boolean, ga4_id:string, "
+    "gtm_id:string, facebook_pixel:boolean, hotjar:boolean, mixpanel:boolean>, "
+    "schema_org array<string>, x_robots_tag string, "
     f"links array<struct<{LINK_STRUCT}>>, candidates array<struct<{CAND_STRUCT}>>"
 )
 
@@ -66,6 +71,7 @@ def http_meta(documents: DataFrame) -> DataFrame:
             F.coalesce(m["size"].cast("long"), F.lit(0)).alias("size"),
             F.coalesce(m["redirect"], F.lit("")).alias("redirect"),
             F.coalesce(m["retry_after"], F.lit("")).alias("retry_after"),
+            F.coalesce(m["xrobots"], F.lit("")).alias("xrobots"),
         )
     )
 
@@ -85,7 +91,7 @@ def resolve_redirects(meta: DataFrame) -> DataFrame:
     cur = meta.select(
         F.col("doc_id"),
         F.col("doc_id").alias("cur_id"),
-        "status", "content_type", "size", "redirect", "retry_after",
+        "status", "content_type", "size", "redirect", "retry_after", "xrobots",
         F.array().cast(f"array<struct<{CHAIN_STRUCT}>>").alias("chain"),
         F.lit(None).cast("string").alias("error"),
     )
@@ -109,6 +115,7 @@ def resolve_redirects(meta: DataFrame) -> DataFrame:
             F.col("size").alias("_n_size"),
             F.col("redirect").alias("_n_redirect"),
             F.col("retry_after").alias("_n_ra"),
+            F.col("xrobots").alias("_n_xr"),
         )
         stepped = (
             moving.withColumn("chain", F.concat("chain", F.array(hop_entry)))
@@ -123,6 +130,7 @@ def resolve_redirects(meta: DataFrame) -> DataFrame:
             F.coalesce("_n_size", F.lit(0)).alias("size"),
             F.coalesce("_n_redirect", F.lit("")).alias("redirect"),
             F.coalesce("_n_ra", F.lit("")).alias("retry_after"),
+            F.coalesce("_n_xr", F.lit("")).alias("xrobots"),
             "chain",
             F.when(F.col("_n_id").isNull(), F.lit("fetch failed"))
             .when(loop | (F.size("chain") >= MAX_REDIRECTS), F.lit("too many redirects"))
@@ -157,6 +165,7 @@ def resolve_redirects(meta: DataFrame) -> DataFrame:
         F.when(errored, F.lit("")).otherwise(F.col("content_type")).alias("content_type"),
         F.when(errored, F.lit(0)).otherwise(F.col("size")).alias("size"),
         F.col("retry_after"),
+        F.when(errored, F.lit("")).otherwise(F.col("xrobots")).alias("x_robots_tag"),
         F.when(errored | ~has_chain, F.col("chain"))
         .otherwise(F.concat("chain", F.array(final_entry)))
         .alias("redirect_chain"),
@@ -190,6 +199,7 @@ def join_fetch(frontier: DataFrame, fetch_map: DataFrame, documents: DataFrame) 
         F.coalesce("status_code", F.lit(0)).alias("status_code"),
         F.coalesce("content_type", F.lit("")).alias("content_type"),
         F.coalesce("size", F.lit(0)).alias("size"),
+        F.coalesce("x_robots_tag", F.lit("")).alias("x_robots_tag"),
         F.coalesce(
             "error",
             F.when(F.col("final_doc_id").isNull(), F.lit("fetch failed")),
@@ -261,12 +271,14 @@ def extract_pages(fetched: DataFrame, base_domain: str, *,
                     "redirects": list(r.redirects),
                     "redirect_chain": [dict(c) for c in r.redirect_chain],
                     "final_url": r.final_url,
+                    "x_robots_tag": r.x_robots_tag if r.error is None else "",
                     **{k: page[k] for k in (
                         "title", "meta_description", "h1", "h1_list",
                         "headings_structure", "h2", "h3", "word_count",
                         "canonical_url", "robots", "viewport", "images",
                         "internal_links", "external_links", "hreflang",
-                        "json_ld_count",
+                        "json_ld_count", "lang", "charset", "og_tags",
+                        "twitter_tags", "analytics", "schema_org",
                     )},
                     "links": links,
                     "candidates": cands,

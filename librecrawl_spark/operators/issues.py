@@ -118,8 +118,13 @@ def per_page_issues(pages: DataFrame) -> DataFrame:
     arch = is_archive_or_utility(url)
     ptype = classify_page_type(url)
     robots = F.lower(F.coalesce(F.col("robots"), F.lit("")))
-    noindex = robots.contains("noindex")
-    nofollow = robots.contains("nofollow")
+    xrobots = (
+        F.lower(F.coalesce(F.col("x_robots_tag"), F.lit("")))
+        if "x_robots_tag" in pages.columns else F.lit("")
+    )
+    # issue_detector.py:879-881 — meta tag OR X-Robots-Tag header
+    noindex = robots.contains("noindex") | xrobots.contains("noindex")
+    nofollow = robots.contains("nofollow") | xrobots.contains("nofollow")
     tlen = F.length(title)
     dlen = F.length(desc)
     parsed_html = F.col("content_type").contains("text/html") & F.col("error").isNull()

@@ -130,6 +130,7 @@ class ReferenceCrawlOracle:
                 "url": url, "status_code": 0, "content_type": "", "size": 0,
                 "is_internal": False, "depth": depth, "error": fetch["error"],
                 "redirect_count": 0, "redirects": [], "redirect_chain": [],
+                "x_robots_tag": "",
             }
             result.update({k: v for k, v in spandoc.extract_page(url, [], self.base_domain).items()})
             result["word_count"] = 0
@@ -148,6 +149,8 @@ class ReferenceCrawlOracle:
             "redirects": [c["url"] for c in fetch["chain"]],
             "redirect_chain": fetch["chain"],
             "final_url": fetch["final_url"] if fetch["chain"] else None,
+            # crawler.py:1031 — X-Robots-Tag from the (final) response headers
+            "x_robots_tag": http["xrobots"],
         }
         spans = fetch["spans"]
         if "text/html" in http["content_type"]:

@@ -75,6 +75,15 @@ class CrawlEngine:
         self.tio = TableIO(checkpoint_dir) if checkpoint_dir else None
         self.max_waves = max_waves
 
+    @staticmethod
+    def _with_hash(df: DataFrame) -> DataFrame:
+        """north-star canonical hash key — used for seen-set bucketing
+        and the bloom filter; membership truth stays raw-string equality
+        (link_manager.py:83-85)."""
+        from librecrawl_spark.functions.url_exprs import canonical_hash
+
+        return df.withColumn("url_hash", canonical_hash(F.col("url")))
+
     # ------------------------------------------------------------------ state
     def _fresh_state(self) -> dict:
         spark = self.spark
@@ -88,7 +97,7 @@ class CrawlEngine:
         )
         return {
             "pending": pending,
-            "seen": pending.select("url", "depth", "seq"),
+            "seen": self._with_hash(pending.select("url", "depth", "seq")),
             "counts": spark.createDataFrame([], schema="signature string, cnt long"),
             "traps": spark.createDataFrame(
                 [], schema="signature string, example_url string, hits long, first_wave int"
@@ -209,8 +218,17 @@ class CrawlEngine:
                 F.col("clean_url").alias("target_url"), F.col("src_url").alias("source_url")
             )
 
+            # bloom prefilter once the seen-set is big enough to make the
+            # anti-join shuffle worth skipping for definitely-unseen URLs
+            bloom = None
+            if st["next_seq"] >= 100_000:
+                bloom = FR.build_seen_bloom(
+                    seen, expected=max(st["next_seq"] * 2, cfg.bloom_expected_items // 100),
+                    fpp=cfg.bloom_fpp,
+                )
             new_frontier, counts_delta, trap_hits, occ = FR.schedule_wave(
                 cands, seen, counts, self.hosts, self.base_domain, cfg, st["next_seq"],
+                bloom=bloom,
                 src_seq_bounds=(int(wave_lo), int(wave_hi)) if wave_lo is not None else None,
             )
             new_frontier = new_frontier.withColumn("wave", F.lit(wave + 1)).persist()
@@ -224,7 +242,9 @@ class CrawlEngine:
                 )
             )
             st["traps"] = self._merge_traps(st["traps"], trap_hits, wave)
-            st["seen"] = seen.unionByName(new_frontier.select("url", "depth", "seq"))
+            st["seen"] = seen.unionByName(
+                self._with_hash(new_frontier.select("url", "depth", "seq"))
+            )
             st["pending"] = leftover.unionByName(new_frontier)
             st["next_seq"] += n_new
             st["wave"] = wave + 1

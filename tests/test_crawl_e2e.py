@@ -50,7 +50,8 @@ def test_page_extraction_fields(both):
             "title", "meta_description", "h1", "h1_list", "h2", "h3",
             "word_count", "canonical_url", "robots", "viewport",
             "internal_links", "external_links", "redirect_count", "redirects",
-            "json_ld_count", "error"]
+            "json_ld_count", "error", "lang", "charset", "x_robots_tag",
+            "schema_org"]
     got = {r["url"]: r.asDict() for r in engine.pages.select(*cols).collect()}
     assert set(got) == {p["url"] for p in oracle["pages"]}
     for p in oracle["pages"]:
@@ -62,12 +63,16 @@ def test_page_extraction_fields(both):
 def test_nested_fields(both):
     oracle, engine = both
     got = {r["url"]: r for r in engine.pages.select(
-        "url", "headings_structure", "images", "hreflang", "redirect_chain").collect()}
+        "url", "headings_structure", "images", "hreflang", "redirect_chain",
+        "og_tags", "twitter_tags", "analytics").collect()}
     for p in oracle["pages"]:
         g = got[p["url"]]
         assert [dict(h.asDict()) for h in g["headings_structure"]] == p["headings_structure"]
         assert [dict(i.asDict()) for i in g["images"]] == p["images"]
         assert [dict(h.asDict()) for h in g["hreflang"]] == p["hreflang"]
+        assert dict(g["og_tags"] or {}) == p["og_tags"]
+        assert dict(g["twitter_tags"] or {}) == p["twitter_tags"]
+        assert g["analytics"].asDict() == p["analytics"]
         chain = [
             {k: v for k, v in c.asDict().items() if not (k == "final" and not v)}
             for c in g["redirect_chain"]
