@@ -255,6 +255,41 @@ def per_page_issues(pages: DataFrame) -> DataFrame:
     )
 
 
+def apply_issue_exclusions(issues: DataFrame, patterns: tuple[str, ...]) -> DataFrame:
+    """F11 (issue_detector.py:1457-1469 + re-applied at read
+    main.py:409-441): drop issues whose URL *path* matches an exclusion
+    pattern — fnmatch when the pattern has a '*', else exact-or-prefix.
+    Exact fnmatch semantics via a tiny Arrow UDF (the issues table is
+    small relative to pages; patterns are user-supplied globs)."""
+    if not patterns:
+        return issues
+    pats = tuple(patterns)
+
+    @F.pandas_udf("boolean")
+    def excluded(url_s):
+        from fnmatch import fnmatch
+        from urllib.parse import urlparse
+
+        import pandas as pd
+
+        out = []
+        for u in url_s:
+            path = urlparse(u or "").path
+            hit = False
+            for p in pats:
+                if "*" in p:
+                    if fnmatch(path, p):
+                        hit = True
+                        break
+                elif path == p or path.startswith(p.rstrip("*")):
+                    hit = True
+                    break
+            out.append(hit)
+        return pd.Series(out, dtype=bool)
+
+    return issues.filter(~excluded(F.col("url")))
+
+
 # --- whole-crawl checks ------------------------------------------------------
 
 def links_to_redirects(pages: DataFrame, links: DataFrame) -> DataFrame:

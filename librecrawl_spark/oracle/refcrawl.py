@@ -35,6 +35,7 @@ class ReferenceCrawlOracle:
                  base_url: str, config: CrawlConfig):
         self.docs = {d["doc_id"]: d["spans"] for d in documents}
         self.robots_txt = {h["host"]: h["robots_txt"] for h in hosts}
+        self.sitemap_xml_by_host = {h["host"]: h.get("sitemap_xml") for h in hosts}
         self.config = config.for_seed(base_url)
         self.base_url = base_url
         self.base_domain = urlparse(base_url).netloc
@@ -168,10 +169,35 @@ class ReferenceCrawlOracle:
             result.update(spandoc.extract_page(url, [], self.base_domain))
         return result
 
+    # --- sitemap bootstrap (crawler.py:362-381) ---------------------------
+    def _sitemap_locs(self) -> list[str]:
+        """Page URLs from the base host's sitemap body, in document order
+        (the fixture models discover_sitemaps' fetch)."""
+        import xml.etree.ElementTree as ET
+
+        host = urlparse(self.base_url).netloc
+        body = self.sitemap_xml_by_host.get(host)
+        if not body:
+            return []
+        try:
+            root = ET.fromstring(body)
+        except ET.ParseError:
+            return []
+        if root.tag.split("}")[-1] != "urlset":
+            return []
+        return [el.text.strip() for el in root.iter()
+                if el.tag.split("}")[-1] == "loc" and el.text]
+
     # --- crawler._crawl_worker at concurrency=1 (crawler.py:757-899) -----
     def run(self, seed_urls: list[str] | None = None) -> dict:
         for u in seed_urls or [self.base_url]:
             self.add_url(u, 0)
+        if self.config.discover_sitemaps:
+            # crawler.py:372-377: policy-checked, add_url at depth 0 (no
+            # trap counting), raw document order
+            for u in self._sitemap_locs():
+                if self._should_crawl(u):
+                    self.add_url(u, 0)
         crawled = 0
         while self.queue and crawled < self.config.max_urls:
             url, depth = self.queue.popleft()

@@ -84,11 +84,73 @@ class CrawlEngine:
 
         return df.withColumn("url_hash", canonical_hash(F.col("url")))
 
+    def _bootstrap_urls(self) -> list[str]:
+        """Seed list + (optionally) the base host's sitemap page URLs in
+        document order, policy-checked — the engine side of
+        crawler.py:269,362-381. The sitemap fetch is seed-time bootstrap
+        (bounded by one sitemap), so the single host row is collected;
+        wave-time scheduling stays fully distributed."""
+        out = list(self.seed_urls)
+        if not self.config.discover_sitemaps:
+            return out
+        import urllib.robotparser
+        import xml.etree.ElementTree as ET
+
+        from librecrawl_spark.functions import urls as U
+
+        rows = self.hosts.filter(F.col("host") == self.base_domain).select(
+            "robots_txt", "sitemap_xml"
+        ).collect()
+        if not rows or not rows[0]["sitemap_xml"]:
+            return out
+        try:
+            root = ET.fromstring(rows[0]["sitemap_xml"])
+        except ET.ParseError:
+            return out
+        if root.tag.split("}")[-1] != "urlset":
+            return out
+        locs = [el.text.strip() for el in root.iter()
+                if el.tag.split("}")[-1] == "loc" and el.text]
+
+        cfg = self.config
+        loc_hosts = {urlparse(u).netloc for u in locs}
+        robots_by_host = {
+            r["host"]: r["robots_txt"]
+            for r in self.hosts.filter(F.col("host").isin(*loc_hosts))
+            .select("host", "robots_txt").collect()
+        } if loc_hosts else {}
+        parsers: dict = {}
+
+        def allows(u):
+            h = urlparse(u).netloc
+            txt = robots_by_host.get(h)
+            if txt is None:
+                return True  # unreadable robots => allow (crawler.py:1543-1546)
+            if h not in parsers:
+                rp = urllib.robotparser.RobotFileParser()
+                rp.parse(txt.splitlines())
+                parsers[h] = rp
+            return parsers[h].can_fetch(cfg.user_agent, u)
+
+        for u in locs:
+            if U.should_crawl(
+                u, self.base_domain,
+                crawl_external=cfg.crawl_external,
+                crawl_subdomains=cfg.crawl_subdomains,
+                include_extensions=tuple(cfg.include_extensions),
+                exclude_extensions=tuple(cfg.exclude_extensions),
+                include_patterns=tuple(cfg.include_patterns),
+                exclude_patterns=tuple(cfg.exclude_patterns),
+                robots_allows=allows if cfg.respect_robots else None,
+            ):
+                out.append(u)
+        return out
+
     # ------------------------------------------------------------------ state
     def _fresh_state(self) -> dict:
         spark = self.spark
         seed_rows, seed_seen = [], set()
-        for u in self.seed_urls:
+        for u in self._bootstrap_urls():
             if u not in seed_seen:
                 seed_seen.add(u)
                 seed_rows.append((u, 0, len(seed_rows), 0))

@@ -143,3 +143,18 @@ class TestExternalMode:
         assert got == oracle["fetch_order"]
         hosts = {u.split("/")[2] for u, _ in got}
         assert len(hosts) > 1
+
+
+class TestSitemapBootstrap:
+    def test_sitemap_seeded_crawl_matches_oracle(self, spark):
+        cfg = CrawlConfig(max_depth=2, max_urls=60, discover_sitemaps=True)
+        oracle, engine = run_both(spark, SMALL, cfg)
+        got_seen = {(r["url"], r["seq"]) for r in engine.seen.select("url", "seq").collect()}
+        want_seen = {(u, i) for i, (u, _) in enumerate(oracle["seen"])}
+        assert got_seen == want_seen
+        got = [(r["url"], r["depth"]) for r in
+               engine.pages.orderBy("wave", "seq").select("url", "depth").collect()]
+        assert got == oracle["fetch_order"]
+        # sitemap actually contributed URLs beyond the seed at depth 0
+        depth0 = [u for u, d in oracle["seen"] if d == 0]
+        assert len(depth0) > 1

@@ -175,3 +175,16 @@ def test_sitemap_health(spark, pages):
     h = I.sitemap_health(sm, pg).collect()[0]
     assert h["total"] == 3
     assert h["not_crawled"] >= 1
+
+
+def test_issue_exclusion_patterns(spark, pages):
+    pg, _ = pages
+    iss = I.per_page_issues(pg).persist()
+    total = iss.count()
+    kept = I.apply_issue_exclusions(iss, ("/page/*",)).count()
+    excluded_urls = {r["url"] for r in iss.collect()} - {
+        r["url"] for r in I.apply_issue_exclusions(iss, ("/page/*",)).collect()}
+    assert kept < total
+    assert all("/page/" in u for u in excluded_urls)
+    # no patterns => identity
+    assert I.apply_issue_exclusions(iss, ()).count() == total
