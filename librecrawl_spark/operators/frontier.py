@@ -77,16 +77,16 @@ def add_global_seq(df: DataFrame, order_cols: list[str], start: int,
     for k in sorted(counts):
         offsets[k] = acc
         acc += counts[k]
-    omap = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
+    # broadcast hash join for the offset lookup (a literal-map lookup is a
+    # per-row linear scan over the entries)
+    odf = F.broadcast(
+        spark.createDataFrame(list(offsets.items()), schema="_bkt long, _off long")
     )
     w = Window.partitionBy("_bkt").orderBy(*order_cols)
     return (
-        b.withColumn(
-            out_col,
-            (omap[F.col("_bkt")] + F.row_number().over(w) - 1).cast("long"),
-        )
-        .drop("_bkt")
+        b.join(odf, "_bkt")
+        .withColumn(out_col, (F.col("_off") + F.row_number().over(w) - 1).cast("long"))
+        .drop("_bkt", "_off")
     )
 
 
@@ -229,8 +229,11 @@ def schedule_wave(
     w_pos = [F.col("src_seq").asc(), F.col("link_idx").asc()]
     T = config.trap_threshold
 
+    # NOT persisted up front: the full occurrence set is only re-read by
+    # the hot-signature path; steady-state waves (no signature crossing
+    # the threshold) never pay the 10^7-row cache materialization
     occ = candidates.filter(F.col("clean_url") != F.col("src_url"))
-    occ = anti_join_seen(occ, seen, bloom).persist()
+    occ = anti_join_seen(occ, seen, bloom)
 
     # 1. first occurrence per URL — aggregation, not a window
     first = (
@@ -261,12 +264,27 @@ def schedule_wave(
     hot_sigs = sig_stat.filter(F.col("prior") + F.col("wave_acc") >= T).select(
         "signature", "prior"
     )
+    has_hot = not hot_sigs.isEmpty()
 
     cold_accepted = (
-        first.join(hot_sigs, "signature", "left_anti")
+        (first.join(hot_sigs, "signature", "left_anti") if has_hot else first)
         .filter("policy_ok")
         .select(F.col("clean_url").alias("url"), "depth", "src_seq", "link_idx", "signature")
     )
+
+    if not has_hot:
+        accepted = cold_accepted.persist()
+        new_frontier = add_global_seq(
+            accepted.drop("signature"), ["src_seq", "link_idx"], seq_start,
+            lead_bounds=src_seq_bounds,
+        ).drop("src_seq", "link_idx")
+        counts_delta = accepted.groupBy("signature").agg(F.count("*").alias("cnt_delta"))
+        trap_hits = candidates.sparkSession.createDataFrame(
+            [], schema="signature string, hits long, example_url string"
+        )
+        return new_frontier, counts_delta, trap_hits, _CacheHandles([first, accepted])
+
+    occ = occ.persist()
 
     # 4. exact ordered semantics for the hot residue only
     occ_hot = (
