@@ -341,6 +341,39 @@ def broken_link_sources(pages: DataFrame, links: DataFrame) -> DataFrame:
     )
 
 
+_VALID_LANG_CODES = (
+    # issue_detector.py:1830-1839 — ISO 639-1 set + x-default
+    "aa ab af ak am ar as ay az ba be bg bh bi bn bo br bs ca co cs cy da de dz "
+    "el en eo es et eu fa fi fj fo fr fy ga gd gl gn gu ha he hi hr hu hy ia id "
+    "ie ik is it iu ja jv ka kk kl km kn ko ks ku ky la lb ln lo lt lv mg mi mk "
+    "ml mn mr ms mt my na ne nl no oc om or pa pl ps pt qu rm rn ro ru rw sa sd "
+    "sg sh si sk sl sm sn so sq sr ss st su sv sw ta te tg th ti tk tl tn to tr "
+    "ts tt tw ug uk ur uz ve vi vo wo xh yi yo za zh zu x-default"
+).split()
+_HREFLANG_RE = r"(?i)^[a-z]{2,3}(-[A-Za-z]{2,4})?(-[A-Za-z]{2})?$|^x-default$"
+
+
+def hreflang_invalid_codes(pages: DataFrame) -> DataFrame:
+    """C12 (issue_detector.py:1830-1843, 1885-1902): hreflang codes must
+    match the lang[-region[-script]] pattern AND have a known primary
+    subtag. Native rlike + isin over exploded edges."""
+    edges = (
+        pages.select(F.col("url"), F.explode("hreflang").alias("h"))
+        .select("url", F.col("h.lang").alias("lang"), F.col("h.url").alias("target"))
+    )
+    primary = F.lower(F.element_at(F.split(F.col("lang"), "-"), 1))
+    bad = (
+        ~F.col("lang").rlike(_HREFLANG_RE)
+        | (~primary.isin(*_VALID_LANG_CODES) & (F.lower(F.col("lang")) != "x-default"))
+    )
+    return edges.filter(bad).select(
+        "url", F.lit("warning").alias("type"), F.lit("International").alias("category"),
+        F.lit("Hreflang: Invalid Language Code").alias("issue"),
+        F.concat(F.lit("Invalid hreflang code: "), F.col("lang")).alias("details"),
+        "lang", "target",
+    )
+
+
 def hreflang_reciprocity(pages: DataFrame) -> DataFrame:
     """J6 (issue_detector.py:1817-1969): explode per-page hreflang edges;
     (A -> B) without a matching (B -> A) is non-reciprocal."""

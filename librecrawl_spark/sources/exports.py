@@ -38,6 +38,27 @@ def write_pages_json(pages: DataFrame, path: str) -> None:
     pages_export(pages).write.mode("overwrite").json(path)
 
 
+def write_pages_xml(pages: DataFrame, path: str, root: str = "urls",
+                    row_tag: str = "url_entry") -> None:
+    """S14 XML export (main.py:368-382): element per url per field.
+    The reference collects to build the XML; same here (export-only
+    path, bounded by the flattened projection)."""
+    from xml.sax.saxutils import escape
+
+    rows = pages_export(pages).collect()
+    cols = rows[0].asDict().keys() if rows else []
+    parts = [f"<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<{root}>"]
+    for r in rows:
+        d = r.asDict()
+        fields = "".join(
+            f"<{c}>{escape('' if d[c] is None else str(d[c]))}</{c}>" for c in cols
+        )
+        parts.append(f"  <{row_tag}>{fields}</{row_tag}>")
+    parts.append(f"</{root}>\n")
+    with open(path, "w") as fh:
+        fh.write("\n".join(parts))
+
+
 def links_export(links: DataFrame) -> DataFrame:
     """S15 fixed-column links export (main.py:384-407)."""
     return links.select(

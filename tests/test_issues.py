@@ -188,3 +188,33 @@ def test_issue_exclusion_patterns(spark, pages):
     assert all("/page/" in u for u in excluded_urls)
     # no patterns => identity
     assert I.apply_issue_exclusions(iss, ()).count() == total
+
+
+def test_hreflang_invalid_codes(spark):
+    from librecrawl_spark.operators.extract import PAGE_SCHEMA
+    from pyspark.sql import Row
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL(PAGE_SCHEMA)
+    schema = StructType([f for f in schema.fields if f.name in ("url", "hreflang")])
+    df = spark.createDataFrame(
+        [Row(url="https://x/1", hreflang=[{"lang": "en-US", "url": "https://x/2"},
+                                          {"lang": "zz", "url": "https://x/3"},
+                                          {"lang": "x-default", "url": "https://x/4"},
+                                          {"lang": "english", "url": "https://x/5"}])],
+        schema)
+    out = {(r["lang"]) for r in I.hreflang_invalid_codes(df).collect()}
+    assert out == {"zz", "english"}
+
+
+def test_xml_export(spark, pages, tmp_path):
+    from librecrawl_spark.sources.exports import write_pages_xml
+    import xml.etree.ElementTree as ET
+
+    pg, _ = pages
+    p = str(tmp_path / "pages.xml")
+    write_pages_xml(pg, p)
+    root = ET.parse(p).getroot()
+    entries = list(root)
+    assert len(entries) == pg.count()
+    assert entries[0].find("url") is not None
