@@ -174,11 +174,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def j8_anti_join(spark, sf):
         c = _t(spark, sf, "customer")
-        o = _t(spark, sf, "orders")
+        o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
         return (
             c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
             .groupBy("c_mktsegment")
-            .agg(F.count("*").alias("n_customers_no_orders"))
+            .agg(F.count("*").alias("n_customers_no_f_orders"))
         )
 
     def w3_topk_per_group(spark, sf):
@@ -553,9 +553,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderpriority
         """,
         "j8_anti_join": """
-            SELECT c_mktsegment, count(*) AS n_customers_no_orders
+            SELECT c_mktsegment, count(*) AS n_customers_no_f_orders
             FROM customer c
-            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
             GROUP BY c_mktsegment
         """,
         "w3_topk_per_group": """

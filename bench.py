@@ -314,6 +314,32 @@ bring 4x memory bandwidth and IO with them.
 normalized to the ceiling: frontier {f_eff / ceiling:.2f}, extract
 {e_eff / ceiling:.2f}.
 
+## Methodology + optimization history (round 1)
+
+Each measurement is the min over BENCH_REPS={os.environ.get('BENCH_REPS', '2')}
+repetitions inside one JVM; levels run in separate sequential
+subprocesses (a JVM's local[k] master is fixed at startup); no other
+load during measurement (this VM shows +/-40% run-to-run noise from
+host neighbors — concurrent jobs poison comparisons).
+
+Scaling fixes found by profiling stage-by-stage with noop writes:
+
+| fix | effect |
+|---|---|
+| shuffle/spill dirs on tmpfs (session.py default) | 16M-row shuffle at local[32]: 13.6s -> 2.0s (virtual disk serialized concurrent shuffle writers) |
+| dedup-keep-first via groupBy(min(struct)) instead of per-URL window | removes a full-data skewable sort |
+| two-phase trap gate (ordered window only for threshold-crossing signatures) | steady-state waves skip the trap window entirely |
+| conditional occ cache (only when the hot set is non-empty) | skips a 16M-row cache materialization per wave |
+| offsets via broadcast join, not a literal create_map | literal-map lookup is a per-row linear scan; frontier local[32] ~77s -> ~32s |
+| per-host politeness window only for delay-limited hosts | hot zero-delay hosts skip the ranking window |
+
+On a real 4N-executor cluster — where added executors bring their own
+memory bandwidth and local disks — the calibration ceiling is ~1.0, so
+the ceiling-normalized numbers are the transferable ones. Design
+headroom at larger scale: bloom-prefiltered anti-join (active above
+100k seen rows), salted repartition on host hash before fetch, AQE
+skew-join, per-signature hot-residue windows.
+
 Raw: `{json.dumps(results)}`
 """)
     print(json.dumps({"frontier_eff": round(f_eff, 3), "extract_eff": round(e_eff, 3),
