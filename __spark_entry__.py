@@ -224,9 +224,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def a9_bigram_topk(spark, sf):
         d = _t(spark, sf, "documents")
         toks = "regexp_extract_all(text, '\\\\w+', 0)"
+        # Guard short docs: sequence(1, 0) counts DOWN to [1, 0] in Spark, so
+        # a doc with <2 tokens would hit element_at(..., 0) and abort the job.
         bigrams = F.expr(
-            f"transform(sequence(1, greatest(size({toks}) - 1, 0)), "
-            f"i -> concat_ws(' ', element_at({toks}, i), element_at({toks}, i + 1)))"
+            f"CASE WHEN size({toks}) >= 2 THEN "
+            f"transform(sequence(1, size({toks}) - 1), "
+            f"i -> concat_ws(' ', element_at({toks}, i), element_at({toks}, i + 1))) "
+            f"ELSE array() END"
         )
         return (
             d.select(F.explode(bigrams).alias("bigram"))
@@ -255,8 +259,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_simhash(spark, sf):
         return D.simhash(_t(spark, sf, "documents"))
 
+    def dedup_simhash_pairs(spark, sf):
+        return D.simhash_dup_groups(_t(spark, sf, "documents"), max_hamming=3)
+
     def dedup_jaccard_pairs(spark, sf):
-        return D.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.4)
+        return D.ngram_jaccard_pairs(
+            _t(spark, sf, "documents"), threshold=0.4, max_df=1000
+        )
 
     def sim_cosine_topk(spark, sf):
         e = _t(spark, sf, "embeddings")
@@ -310,14 +319,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def events_sessionize(spark, sf):
         e = _t(spark, sf, "events")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-        newsess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        # Fractional-second gap via timestampdiff(MICROSECOND, ...): exact and
+        # timezone-free for TIMESTAMP_NTZ. unix_timestamp() truncates to whole
+        # seconds and splits sessions differently when a gap's fractional part
+        # straddles the 1800s threshold (matches DuckDB's epoch() semantics).
+        e2 = e.withColumn("prev_ts", F.lag("ts").over(w))
+        gap = F.expr("timestampdiff(MICROSECOND, prev_ts, ts) / 1000000.0")
+        newsess = F.when(F.col("prev_ts").isNull() | (gap > 1800), 1).otherwise(0)
         sess = F.sum(newsess).over(
             Window.partitionBy("user_id").orderBy("ts", "event_id")
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         return (
-            e.withColumn("sess", sess)
+            e2.withColumn("sess", sess)
             .groupBy("user_id")
             .agg(F.max("sess").alias("n_sessions"), F.count("*").alias("n_events"))
         )
@@ -412,6 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": dedup_fingerprint,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "sim_cosine_topk": sim_cosine_topk,
         "text_tokens": text_tokens,
@@ -441,13 +456,20 @@ def oracle_sql() -> dict[str, str]:
     pred_chain = "'unknown'"
     for l in reversed(langs):
         pred_chain = f"CASE WHEN s_{l} = {best} THEN '{l}' ELSE {pred_chain} END"
-    simhash_bits = " + ".join(
-        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
-    )
+    # 64-bit simhash: bit j <- nibble j of md5(tok) for j<32, nibble j-32 of
+    # md5('x:' || tok) for j>=32; band g = bits [16g, 16g+16) as an int.
+    hi = "('8','9','a','b','c','d','e','f')"
+    _h1, _h2 = "md5(tok)", "md5('x:' || tok)"
     simhash_sums = ", ".join(
-        f"sum(CASE WHEN substr(md5(tok), {i + 1}, 1) IN "
-        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b{i}"
-        for i in range(16)
+        f"sum(CASE WHEN substr({_h1 if j < 32 else _h2}, "
+        f"{(j % 32) + 1}, 1) IN {hi} THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(64)
+    )
+    simhash_bands = ", ".join(
+        "CAST(" + " + ".join(
+            f"(CASE WHEN s{g * 16 + r} > 0 THEN {1 << r} ELSE 0 END)" for r in range(16)
+        ) + f" AS BIGINT) AS band{g}"
+        for g in range(4)
     )
 
     return {
@@ -492,7 +514,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "c5_json_extract": """
             SELECT event_type,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    count(*) AS n
             FROM events GROUP BY event_type
         """,
@@ -623,26 +645,53 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_simhash": rf"""
             WITH t AS (SELECT doc_id, unnest({toks}) AS tok FROM documents),
-            agg AS (SELECT doc_id, {simhash_sums} FROM t GROUP BY doc_id)
-            SELECT doc_id, CAST({simhash_bits} AS BIGINT) AS simhash FROM agg
+            agg AS (SELECT doc_id, {simhash_sums} FROM t GROUP BY doc_id),
+            bands AS (SELECT doc_id, {simhash_bands} FROM agg)
+            SELECT doc_id, band0, band1, band2, band3,
+                   printf('%04x%04x%04x%04x', band3, band2, band1, band0) AS simhash
+            FROM bands
+        """,
+        "dedup_simhash_pairs": rf"""
+            WITH t AS (SELECT doc_id, unnest({toks}) AS tok FROM documents),
+            agg AS (SELECT doc_id, {simhash_sums} FROM t GROUP BY doc_id),
+            bands AS (SELECT doc_id, {simhash_bands} FROM agg),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.doc_id < b.doc_id
+               AND (a.band0 = b.band0 OR a.band1 = b.band1
+                    OR a.band2 = b.band2 OR a.band3 = b.band3)
+            )
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
+                      + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3))
+                    AS INTEGER) AS hamming
+            FROM cand
+            JOIN bands a ON a.doc_id = cand.doc_a
+            JOIN bands b ON b.doc_id = cand.doc_b
+            WHERE bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
+                + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)) <= 3
         """,
         "dedup_jaccard_pairs": rf"""
             WITH s AS (
               SELECT doc_id, list_distinct({shingles}) AS sh FROM documents
             ),
-            sz AS (SELECT doc_id, len(sh) AS n_sh FROM s WHERE len(sh) > 0),
-            inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s WHERE len(sh) > 0),
-            inter AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-              FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY 1, 2
+            nz AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+            inv AS (SELECT doc_id, unnest(sh) AS shingle FROM nz),
+            cold AS (SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= 1000),
+            invc AS (SELECT inv.doc_id, inv.shingle FROM inv JOIN cold USING (shingle)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM invc a JOIN invc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             )
             SELECT doc_a, doc_b,
-                   round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
-            FROM inter
-            JOIN sz sa ON sa.doc_id = doc_a
-            JOIN sz sb ON sb.doc_id = doc_b
-            WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.4
+                   round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                         / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+            FROM cand
+            JOIN nz sa ON sa.doc_id = cand.doc_a
+            JOIN nz sb ON sb.doc_id = cand.doc_b
+            WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                  / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.4
         """,
         "sim_cosine_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

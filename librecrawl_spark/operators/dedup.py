@@ -8,14 +8,14 @@ Five families, all shuffle-conscious:
                 string min per seeded permutation — deterministic and
                 bit-identical in the DuckDB oracle (portable across
                 engines, unlike xxhash64).
-- simhash:      16-bit sign-sum sketch over token md5 nibbles; near-dups
-                share the sketch (or differ by <=1 nibble at query time).
-- ngram_jaccard: blocked pairwise Jaccard over 3-token shingle sets —
-                the provably-lossless blocked version of LibreCrawl's
-                O(n^2) duplicate-content pass
-                (/root/reference/src/core/issue_detector.py:1299-1431):
-                pairs sharing no shingle have J=0 and can never reach
-                the threshold, so the shingle-join block loses nothing.
+- simhash:      64-bit sign-sum sketch (4 x 16-bit bands) over token md5
+                nibbles; near-dups found by Hamming-band candidate join
+                (pairs within Hamming<=3 share a band) + exact verify.
+- ngram_jaccard: doc-frequency-capped inverted-index block over 3-token
+                shingle sets + exact array_intersect verify — the
+                scale-safe version of LibreCrawl's O(n^2)
+                duplicate-content pass
+                (/root/reference/src/core/issue_detector.py:1299-1431).
 - embedding near-dup: see similarity.py (cosine >= threshold).
 
 Every function returns a deterministic DataFrame with aliased columns so
@@ -45,15 +45,22 @@ def exact_dups(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _shingles(text_col: str, k: int = SHINGLE_K):
     """k-token shingles as strings, via tokens + transform/slice —
-    JVM-side higher-order functions, no UDF."""
+    JVM-side higher-order functions, no UDF.
+
+    CASE-guarded for short docs: Spark's sequence(1, 0) counts DOWN to
+    [1, 0], so a doc with fewer than k tokens would evaluate slice at
+    index 0 and abort the whole job (ANSI INVALID_PARAMETER_VALUE)."""
+    toks = f"regexp_extract_all({text_col}, '\\\\w+', 0)"
     return F.expr(
         f"""
-        array_distinct(
-          transform(
-            sequence(1, greatest(size(regexp_extract_all({text_col}, '\\\\w+', 0)) - {k - 1}, 0)),
-            i -> concat_ws(' ', slice(regexp_extract_all({text_col}, '\\\\w+', 0), i, {k}))
+        CASE WHEN size({toks}) >= {k} THEN
+          array_distinct(
+            transform(
+              sequence(1, size({toks}) - {k - 1}),
+              i -> concat_ws(' ', slice({toks}, i, {k}))
+            )
           )
-        )
+        ELSE array() END
         """
     )
 
@@ -103,67 +110,137 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     return pairs
 
 
+SIMHASH_BANDS = 4       # 4 bands x 16 bits = 64-bit sketch
+
+
 def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """16-bit SimHash: bit i = sign of sum over tokens of (+1 if the i-th
-    hex nibble of md5(token) >= 8 else -1). Engine-portable (md5 + CASE
-    arithmetic) and fully vectorized JVM-side."""
+    """64-bit SimHash, materialized as 4 x 16-bit band integers
+    (``band0``..``band3``) plus the combined 16-hex-char ``simhash``.
+
+    Bit j (0..63) sign source: hex nibble j of md5(token) for j < 32,
+    nibble j-32 of md5('x:' || token) for j >= 32 — engine-portable
+    (md5 + CASE arithmetic), fully vectorized JVM-side, no UDF.
+
+    Why 64-bit + bands: a 16-bit sketch has only 65,536 buckets, so at
+    10^9+ docs every bucket floods with unrelated docs. 64 bits keep the
+    collision rate negligible, and the 4-band split gives Hamming-distance
+    banding (pigeonhole: hamming <= 3 over 4 bands => at least one band
+    identical) for candidate generation at scale."""
     toks = F.expr(f"regexp_extract_all({text_col}, '\\\\w+', 0)")
     ex = df.select("doc_id", F.explode(toks).alias("tok"))
-    h = F.md5(F.col("tok"))
-    bit_sums = [
-        F.sum(
-            F.when(F.substring(h, i + 1, 1).isin(*list("89abcdef")), 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(16)
-    ]
-    agg = ex.groupBy("doc_id").agg(*bit_sums)
-    sim = None
-    for i in range(16):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << i)
-        sim = bit if sim is None else sim + bit
-    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+    h1 = F.md5(F.col("tok"))
+    h2 = F.md5(F.concat(F.lit("x:"), F.col("tok")))
+    hi_nibbles = list("89abcdef")  # nibble >= 8 <=> top bit of the nibble set
+
+    def bit_sum(j: int):
+        h = h1 if j < 32 else h2
+        return F.sum(
+            F.when(F.substring(h, (j % 32) + 1, 1).isin(*hi_nibbles), 1).otherwise(-1)
+        ).alias(f"s{j}")
+
+    agg = ex.groupBy("doc_id").agg(*[bit_sum(j) for j in range(64)])
+    band_cols = []
+    for g in range(SIMHASH_BANDS):
+        v = None
+        for r in range(16):
+            bit = (
+                F.when(F.col(f"s{g * 16 + r}") > 0, F.lit(1)).otherwise(F.lit(0))
+                * F.lit(1 << r)
+            )
+            v = bit if v is None else v + bit
+        band_cols.append(v.cast("long").alias(f"band{g}"))
+    out = agg.select("doc_id", *band_cols)
+    hexstr = F.concat(
+        *[F.lpad(F.lower(F.hex(F.col(f"band{g}"))), 4, "0")
+          for g in reversed(range(SIMHASH_BANDS))]
+    )
+    return out.withColumn("simhash", hexstr)
 
 
-def simhash_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Docs sharing an identical 16-bit simhash (near-dup at this sketch
-    granularity): groupBy sketch."""
+def simhash_dup_groups(df: DataFrame, text_col: str = "text",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by 64-bit SimHash Hamming distance <= max_hamming.
+
+    Candidate generation: explode each doc into its 4 (band_idx, value)
+    keys and self-join on the key — by pigeonhole, any pair within
+    Hamming distance 3 shares at least one identical 16-bit band, so the
+    band join is lossless for max_hamming <= 3. Exact verify inside the
+    candidate set via bit_count(xor) per band. Never an all-pairs scan;
+    the shuffle key is the band bucket."""
+    sig = simhash(df, text_col)
+    bands = sig.select(
+        "doc_id", "band0", "band1", "band2", "band3",
+        F.explode(F.array(*[
+            F.concat_ws(":", F.lit(str(g)), F.col(f"band{g}").cast("string"))
+            for g in range(SIMHASH_BANDS)
+        ])).alias("band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = None
+    for g in range(SIMHASH_BANDS):
+        piece = F.bit_count(
+            F.col(f"a.band{g}").bitwiseXOR(F.col(f"b.band{g}"))
+        )
+        ham = piece if ham is None else ham + piece
     return (
-        simhash(df, text_col)
-        .groupBy("simhash")
-        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
-        .filter(F.col("n_docs") > 1)
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
-                        threshold: float = 0.5, k: int = SHINGLE_K) -> DataFrame:
-    """Pairwise n-gram Jaccard >= threshold via the shingle-inverted-index
-    block (lossless: J>0 requires a shared shingle). At scale the hot
-    shingles are capped upstream (stopword shingles dropped by a doc-freq
-    filter) — here the corpus is synthetic and bounded.
+                        threshold: float = 0.5, k: int = SHINGLE_K,
+                        max_df: int = 1000) -> DataFrame:
+    """Pairwise n-gram Jaccard >= threshold via a doc-frequency-capped
+    shingle-inverted-index block, with exact verification.
 
-    |A ∩ B| from the shingle join; |A ∪ B| = |A| + |B| - |A∩B|.
+    Scale guard: a shingle occurring in n docs produces n^2/2 join rows —
+    one stop-phrase shared by 10^6 docs would create a 10^12-row join.
+    Shingles with document frequency > max_df are therefore dropped from
+    the CANDIDATE index (the drop count is logged at INFO). The Jaccard
+    for every surviving candidate pair is still EXACT — computed from the
+    full shingle sets via array_intersect — so the only loss is pairs
+    whose every shared shingle is hotter than max_df (principled: such
+    pairs share only boilerplate).
+
     Mirrors the pair *semantics* of the reference's duplicate-content
     detector (issue_detector.py:1299-1431) without the O(n^2) scan.
     """
+    import logging
+
     sh = shingle_sets(df, text_col, k).filter(F.size("shingles") > 0)
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    a = inv.alias("a")
-    b = inv.alias("b")
-    inter = (
+    dfreq = inv.groupBy("shingle").agg(F.count("*").alias("df"))
+    hot = dfreq.filter(F.col("df") > max_df).select("shingle")
+    log = logging.getLogger(__name__)
+    if log.isEnabledFor(logging.INFO):
+        n_hot = hot.count()
+        if n_hot:
+            log.info("ngram_jaccard_pairs: dropped %d shingles with df > %d "
+                     "from the candidate index", n_hot, max_df)
+    inv_cold = inv.join(hot, "shingle", "left_anti")
+    a, b = inv_cold.alias("a"), inv_cold.alias("b")
+    cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    pa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    pb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
+        cand.join(pa, "doc_a").join(pb, "doc_b")
         .withColumn(
             "jaccard",
-            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+            F.round(n_inter / (F.size("sh_a") + F.size("sh_b") - n_inter), 6),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

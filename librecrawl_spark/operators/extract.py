@@ -133,7 +133,7 @@ def resolve_redirects(meta: DataFrame) -> DataFrame:
             F.coalesce("_n_xr", F.lit("")).alias("xrobots"),
             "chain",
             F.when(F.col("_n_id").isNull(), F.lit("fetch failed"))
-            .when(loop | (F.size("chain") >= MAX_REDIRECTS), F.lit("too many redirects"))
+            .when(loop | (F.size("chain") > MAX_REDIRECTS), F.lit("too many redirects"))
             .otherwise(F.lit(None))
             .alias("error"),
         )

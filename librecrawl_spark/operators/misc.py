@@ -61,9 +61,13 @@ def top_keywords(docs: DataFrame, text_col: str = "text", n: int = 2,
     density %. Tokenize -> n-gram via sequence/transform -> count ->
     row_number window."""
     toks = f"regexp_extract_all(lower({text_col}), '\\\\w+', 0)"
+    # CASE guard: sequence(1, 0) counts DOWN to [1, 0], so docs with fewer
+    # than n tokens would index element 0 and abort the job.
     grams = F.expr(
-        f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', slice({toks}, i, {n})))"
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+        f"ELSE array() END"
     )
     exploded = docs.select(F.explode(grams).alias("gram"))
     total = exploded.count()

@@ -198,6 +198,15 @@ class CrawlEngine:
         fetch_map.count()
 
         ck = self.tio.load_checkpoint() if self.tio else None
+        if self.tio:
+            # Crash-atomicity: drop any snapshot committed after the pinned
+            # checkpoint (or all of them when starting fresh). A crash
+            # between an append commit and checkpoint() otherwise leaves an
+            # orphan snapshot that the re-run wave would append on top of,
+            # permanently duplicating pages/links/sources rows.
+            pinned = ck["tables"] if ck else {}
+            for name in ("pages", "links", "sources", *STATE_TABLES):
+                self.tio.gc_to(name, pinned.get(name))
         st = self._resume_state(ck) if ck else self._fresh_state()
         resumed = ck is not None
 

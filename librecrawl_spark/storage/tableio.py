@@ -83,6 +83,22 @@ class TableIO:
         os.replace(tmp, os.path.join(self._snapdir(name), f"v{sid:06d}.json"))
         return sid
 
+    def gc_to(self, name: str, snapshot_id: int | None) -> int:
+        """Delete snapshot manifests NEWER than ``snapshot_id`` (all of
+        them when None). Crash-recovery primitive: an append that
+        committed after the last crawl-level checkpoint is an orphan —
+        if left in place, the next append would chain from it
+        (``commit`` parents on snaps[-1]) and the re-run wave's rows
+        would be permanently duplicated. Removing the manifest is enough
+        (reads and append parents are manifest-driven); the orphaned
+        data files become unreferenced garbage."""
+        removed = 0
+        for sid in self.snapshots(name):
+            if snapshot_id is None or sid > snapshot_id:
+                os.remove(os.path.join(self._snapdir(name), f"v{sid:06d}.json"))
+                removed += 1
+        return removed
+
     def read(self, spark, name: str, snapshot_id: int | None = None):
         """Read the table at a snapshot (default: latest)."""
         snaps = self.snapshots(name)

@@ -46,6 +46,47 @@ def test_kill_and_resume_equals_uninterrupted(spark, tmp_path):
     assert snap(resumed) == snap(full)
 
 
+def test_crash_after_append_before_checkpoint(spark, tmp_path):
+    """Crash-atomicity: an append that committed AFTER the last crawl
+    checkpoint (process died before checkpoint()) must not leak into the
+    resumed run — the re-run wave would otherwise duplicate its rows."""
+    site = generate_site(SITE)
+    full = mk_engine(spark, site).run()
+
+    ckdir = str(tmp_path / "ck2")
+    mk_engine(spark, site, checkpoint_dir=ckdir, max_waves=2).run()
+
+    # Simulate the torn wave: orphan appends exist, checkpoint.json doesn't
+    # know about them (copy of the wave's own rows = worst-case duplicate).
+    tio = TableIO(ckdir)
+    orphan_pages = tio.read(spark, "pages")
+    orphan_links = tio.read(spark, "links")
+    tio.commit("pages", orphan_pages, mode="append")
+    tio.commit("links", orphan_links, mode="append")
+
+    resumed = mk_engine(spark, site, checkpoint_dir=ckdir).run()
+    assert resumed.stats["resumed"] is True
+    assert snap(resumed) == snap(full)
+
+
+def test_fresh_run_ignores_stale_snapshots(spark, tmp_path):
+    """A crash before the FIRST checkpoint leaves snapshots but no
+    checkpoint.json; a fresh run over the same dir must start clean."""
+    site = generate_site(SITE)
+    full = mk_engine(spark, site).run()
+
+    ckdir = str(tmp_path / "ck3")
+    tio = TableIO(ckdir)
+    stale = spark.createDataFrame([("https://stale.example/", 1)], "url string, seq long")
+    tio.commit("pages", stale, mode="append")
+
+    fresh = mk_engine(spark, site, checkpoint_dir=ckdir).run()
+    assert fresh.stats["resumed"] is False
+    urls = {r["url"] for r in fresh.pages.collect()}
+    assert "https://stale.example/" not in urls
+    assert fresh.stats["crawled"] == full.stats["crawled"]
+
+
 def test_tableio_snapshot_time_travel(spark, tmp_path):
     tio = TableIO(str(tmp_path / "t"))
     df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")

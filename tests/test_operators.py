@@ -54,9 +54,12 @@ class TestDedup:
             [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "zz yy xx")],
             "doc_id long, text string",
         )
-        out = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
-        assert out[1] == out[2]
-        assert 0 <= out[1] < (1 << 16)
+        rows = {r["doc_id"]: r for r in simhash(df).collect()}
+        assert rows[1]["simhash"] == rows[2]["simhash"]
+        assert len(rows[1]["simhash"]) == 16  # 64-bit sketch as hex
+        for g in range(4):
+            assert 0 <= rows[1][f"band{g}"] < (1 << 16)
+        assert rows[1]["simhash"] != rows[3]["simhash"]
 
 
 class TestSimilarity:
