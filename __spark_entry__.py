@@ -101,6 +101,100 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries + oracles
 # ---------------------------------------------------------------------------
 
+def _issue_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pages-shaped DF derived from documents — the input
+    for the issue-engine driver queries (j4/j6/j7/issue predicates).
+    Every column is a pure function of doc_id/n_chars so the DuckDB
+    oracle can construct the identical table in SQL."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    path = (
+        F.when(i % 7 == 0, F.lit("/"))
+        .when(i % 7 == 1, F.concat(F.lit("/tag/t"), s))
+        .when(i % 7 == 2, F.concat(F.lit("/about/a"), s))
+        .when(i % 7 == 3, F.concat(F.lit("/login/l"), s))
+        .when(i % 7 == 4, F.concat(F.lit("/2024/05/12/post-"), s))
+        .when(i % 7 == 5, F.concat(F.lit("/page/"), s))
+        .otherwise(F.concat(F.lit("/a/b"), s))
+    )
+    url = F.concat(F.lit("https://i.example"), path)
+    title = (
+        F.when(i % 11 == 3, F.lit(""))
+        .when(i % 11 == 5, F.lit("Page not found"))
+        .when(i % 11 == 7, F.lit("T" * 65))
+        .when(i % 11 == 0, F.lit("Short"))
+        .otherwise(F.concat(F.lit("Title for document number padded "), s))
+    )
+    desc = (
+        F.when(i % 9 == 2, F.lit(""))
+        .when(i % 9 == 4, F.lit("D" * 160))
+        .otherwise(F.concat(F.lit("Description for "), s, F.lit(" of this corpus page.")))
+    )
+    h1_list = (
+        F.when(i % 8 == 1, F.array().cast("array<string>"))
+        .when(i % 8 == 2, F.array(F.lit("Dup"), F.lit("Dup")))
+        .when(i % 8 == 3, F.array(F.lit("One"), F.lit("Two")))
+        .when(i % 8 == 4, F.array(F.lit("H" * 75)))
+        .otherwise(F.array(F.concat(F.lit("Heading "), s)))
+    )
+    h2 = F.when(i % 6 == 3, F.array(F.lit("S"), F.lit("S"))).otherwise(
+        F.array(F.lit("S1"), F.lit("S2"))
+    )
+    status = (
+        F.when(i % 19 == 4, F.lit(0))
+        .when(i % 19 == 6, F.lit(404))
+        .when(i % 19 == 8, F.lit(500))
+        .when(i % 19 == 10, F.lit(301))
+        .otherwise(F.lit(200))
+    )
+    chain_urls = (
+        F.when(i % 23 == 7, F.array(url, F.concat(url, F.lit("/r")), url))
+        .when(i % 23 == 9, F.array(*[F.concat(url, F.lit(f"/r{k}")) for k in range(5)]))
+        .when(i % 23 == 11, F.array(url, F.concat(url, F.lit("/r1")), F.concat(url, F.lit("/r2"))))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    chain = F.expr(
+        "transform(chain_urls, (u, k) -> "
+        "struct(u AS url, 301 AS status_code, k + 1 AS hop, false AS final))"
+    )
+    canonical = (
+        F.when(i % 10 == 6, F.lit(""))
+        .when(i % 10 == 8, F.lit("https://i.example/"))
+        .when(i % 10 == 4, F.concat(url, F.lit("/")))
+        .otherwise(url)
+    )
+    images = F.when(
+        i % 5 == 2,
+        F.expr("array(struct('/s.png' AS src, '' AS alt, '10' AS width, '10' AS height), "
+               "struct('/t.png' AS src, 'ok' AS alt, '10' AS width, '10' AS height))"),
+    ).otherwise(F.expr(
+        "array()"
+    ).cast("array<struct<src:string,alt:string,width:string,height:string>>"))
+    return (
+        d.withColumn("chain_urls", chain_urls)
+        .select(
+            url.alias("url"),
+            title.alias("title"),
+            desc.alias("meta_description"),
+            F.coalesce(F.get(h1_list, 0), F.lit("")).alias("h1"),
+            h1_list.alias("h1_list"),
+            h2.alias("h2"),
+            F.pmod(F.col("n_chars"), F.lit(700)).cast("int").alias("word_count"),
+            status.alias("status_code"),
+            F.lit("text/html").alias("content_type"),
+            F.when(status == 0, F.lit("fetch failed")).otherwise(F.lit(None).cast("string")).alias("error"),
+            chain.alias("redirect_chain"),
+            F.greatest(F.size(F.col("chain_urls")) - 1, F.lit(0)).alias("redirect_count"),
+            canonical.alias("canonical_url"),
+            F.when(i % 12 == 5, F.lit("")).otherwise(F.lit("width=device-width")).alias("viewport"),
+            images.alias("images"),
+            F.when(i % 14 == 9, F.lit("noindex, nofollow")).otherwise(F.lit("")).alias("robots"),
+            F.when(i % 14 == 11, F.lit("noindex")).otherwise(F.lit("")).alias("x_robots_tag"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from librecrawl_spark.operators import dedup as D, similarity as S, text as T
 
@@ -394,6 +488,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
         )
 
+    def j4_links_to_redirects(spark, sf):
+        from librecrawl_spark.operators.issues import links_to_redirects
+
+        li = _t(spark, sf, "lineitem")
+        suffix = (
+            F.when(F.col("l_linenumber") % 3 == 1, F.lit("/"))
+            .when(F.col("l_linenumber") % 3 == 2, F.lit("#f"))
+            .otherwise(F.lit(""))
+        )
+        links = li.select(
+            F.concat(F.lit("https://g.example/o"), F.col("l_orderkey").cast("string")).alias("source_url"),
+            F.concat(F.lit("https://g.example/p"), F.col("l_partkey").cast("string"), suffix).alias("target_url"),
+            F.lit(True).alias("is_internal"),
+        )
+        part = _t(spark, sf, "part")
+        pages = part.select(
+            F.concat(F.lit("https://g.example/p"), F.col("p_partkey").cast("string")).alias("url"),
+            F.when(F.col("p_partkey") % 10 == 3, F.lit(301))
+            .when(F.col("p_partkey") % 10 == 7, F.lit(308))
+            .otherwise(F.lit(200)).alias("status_code"),
+        )
+        out = links_to_redirects(pages, links)
+        return out.select(
+            "url", "type", "category", "issue", "details", "n_links_to_redirects",
+            F.concat_ws(",", "redirect_targets").alias("redirect_targets"),
+        )
+
+    def j6_hreflang_reciprocity(spark, sf):
+        from librecrawl_spark.operators.issues import hreflang_reciprocity
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+        mk = lambda e: F.concat(F.lit("https://h.example/"), e.cast("string"))
+        url = mk(i)
+        tgt1 = mk(F.when(i % 2 == 0, i + 1).otherwise(i - 1))
+        tgt2 = mk(i + 3)
+        en = F.struct(F.lit("en").alias("lang"), tgt1.alias("url"))
+        de = F.struct(F.lit("de").alias("lang"), tgt2.alias("url"))
+        pages = d.select(
+            url.alias("url"),
+            F.when(i % 5 == 0, F.array(en, de)).otherwise(F.array(en)).alias("hreflang"),
+        )
+        return hreflang_reciprocity(pages).select(
+            "url", "type", "category", "issue", "details", "hreflang_target", "lang"
+        )
+
+    def j7_dup_candidates(spark, sf):
+        from librecrawl_spark.operators.issues import dup_candidate_pairs
+
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") % 97 == 0)
+        i = F.col("doc_id")
+        pages = d.select(
+            F.concat(F.lit("https://c.example/"), i.cast("string")).alias("url"),
+            F.expr("concat('Title ', substr(text, 1, 10 + cast(doc_id % 40 AS int)))").alias("title"),
+            F.expr("concat('Desc ', substr(text, 20, 30))").alias("meta_description"),
+            F.expr("substr(text, 5, 12)").alias("h1"),
+            F.pmod(F.col("n_chars"), F.lit(500)).cast("int").alias("word_count"),
+        )
+        return dup_candidate_pairs(pages, threshold=0.85).select("url_a", "url_b")
+
+    def i_issue_predicates(spark, sf):
+        from librecrawl_spark.operators.issues import per_page_issues
+
+        return per_page_issues(_issue_pages(spark, sf))
+
+    def c14_backoff_math(spark, sf):
+        """C14 (crawler.py:955-966): total exponential-backoff sleep,
+        min(Retry-After or base*2^attempt, 30) summed over attempts —
+        the same column expression resolve_retries_inline uses, driven
+        by the events table (event_id%5 as retry count, odd props.k as
+        a Retry-After header)."""
+        e = _t(spark, sf, "events")
+        k = F.get_json_object("props", "$.k").cast("long")
+        ra = F.when(k % 2 == 1, k.cast("double"))
+        rc = F.pmod(F.col("event_id"), F.lit(5)).cast("int")
+        per_row = F.when(rc <= 0, F.lit(0.0)).otherwise(
+            F.aggregate(
+                F.sequence(F.lit(0), rc - 1),
+                F.lit(0.0),
+                lambda acc, a: acc + F.least(
+                    F.coalesce(ra, F.pow(F.lit(2.0), a.cast("double"))), F.lit(30.0)
+                ),
+            )
+        )
+        return (
+            e.select("event_type", per_row.alias("bk"))
+            .groupBy("event_type")
+            .agg(F.round(F.sum("bk"), 4).alias("total_backoff"), F.count("*").alias("n"))
+        )
+
     def a4_array_filter(spark, sf):
         e = _t(spark, sf, "embeddings")
         return e.select(
@@ -409,7 +593,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u3_set_ops": u3_set_ops,
         "w1_lag_delta": w1_lag_delta,
         "c5_json_extract": c5_json_extract,
+        "c14_backoff_math": c14_backoff_math,
         "a4_array_filter": a4_array_filter,
+        "j4_links_to_redirects": j4_links_to_redirects,
+        "j6_hreflang_reciprocity": j6_hreflang_reciprocity,
+        "j7_dup_candidates": j7_dup_candidates,
+        "i_issue_predicates": i_issue_predicates,
         "q1_pricing_summary": q1_pricing_summary,
         "j1_status_lookup_join": j1_status_lookup_join,
         "j2_reverse_links": j2_reverse_links,
@@ -435,6 +624,142 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling_window": events_tumbling_window,
         "events_sessionize": events_sessionize,
     }
+
+
+def _issue_predicates_sql() -> str:
+    """DuckDB twin of i_issue_predicates: the same deterministic pages
+    construction (pure functions of doc_id/n_chars) plus an independent
+    transcription of every per_page_issues predicate as one UNION ALL.
+    The page-type/archive classification is expressed as the EXPECTED
+    class per construction case (an independent check of the Spark
+    classifier's regex/substring logic)."""
+    from librecrawl_spark.operators.issues import _SOFT404_PHRASES
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    soft_t = " OR ".join(f"contains(lower(title), '{q(p)}')" for p in _SOFT404_PHRASES)
+    soft_h = " OR ".join(f"contains(lower(h1), '{q(p)}')" for p in _SOFT404_PHRASES)
+    i7 = "CAST(doc_id % 7 AS INT)"
+    pg = f"""
+      SELECT
+        'https://i.example' || CASE {i7}
+          WHEN 0 THEN '/'
+          WHEN 1 THEN '/tag/t' || CAST(doc_id AS VARCHAR)
+          WHEN 2 THEN '/about/a' || CAST(doc_id AS VARCHAR)
+          WHEN 3 THEN '/login/l' || CAST(doc_id AS VARCHAR)
+          WHEN 4 THEN '/2024/05/12/post-' || CAST(doc_id AS VARCHAR)
+          WHEN 5 THEN '/page/' || CAST(doc_id AS VARCHAR)
+          ELSE '/a/b' || CAST(doc_id AS VARCHAR) END AS url,
+        CASE {i7} WHEN 0 THEN 'important' WHEN 1 THEN 'archive'
+             WHEN 2 THEN 'important' WHEN 3 THEN 'other' WHEN 4 THEN 'important'
+             WHEN 5 THEN 'archive' ELSE 'other' END AS ptype,
+        {i7} IN (1, 3, 5) AS arch,
+        CASE CAST(doc_id % 11 AS INT) WHEN 3 THEN '' WHEN 5 THEN 'Page not found'
+             WHEN 7 THEN repeat('T', 65) WHEN 0 THEN 'Short'
+             ELSE 'Title for document number padded ' || CAST(doc_id AS VARCHAR) END AS title,
+        CASE CAST(doc_id % 9 AS INT) WHEN 2 THEN 0 WHEN 4 THEN 160
+             ELSE 37 + len(CAST(doc_id AS VARCHAR)) END AS dlen,
+        CASE CAST(doc_id % 8 AS INT) WHEN 1 THEN 0 WHEN 2 THEN 2 WHEN 3 THEN 2 ELSE 1 END AS n_h1,
+        CAST(doc_id % 8 AS INT) = 2 AS h1_dup,
+        CASE CAST(doc_id % 8 AS INT) WHEN 1 THEN '' WHEN 2 THEN 'Dup' WHEN 3 THEN 'One'
+             WHEN 4 THEN repeat('H', 75)
+             ELSE 'Heading ' || CAST(doc_id AS VARCHAR) END AS h1,
+        CAST(doc_id % 6 AS INT) = 3 AS h2_dup,
+        CAST(n_chars % 700 AS INT) AS wc,
+        CASE CAST(doc_id % 19 AS INT) WHEN 4 THEN 0 WHEN 6 THEN 404 WHEN 8 THEN 500
+             WHEN 10 THEN 301 ELSE 200 END AS status,
+        CAST(doc_id % 23 AS INT) = 7 AS chain_loop,
+        CASE CAST(doc_id % 23 AS INT) WHEN 7 THEN 2 WHEN 9 THEN 4 WHEN 11 THEN 2 ELSE 0 END AS rc,
+        CAST(doc_id % 10 AS INT) = 6 AS canon_missing,
+        (CAST(doc_id % 10 AS INT) = 8 AND {i7} <> 0) AS canonicalised,
+        CAST(doc_id % 12 AS INT) = 5 AS vp_missing,
+        CASE WHEN CAST(doc_id % 5 AS INT) = 2 THEN 1 ELSE 0 END AS img_missing,
+        CAST(doc_id % 14 AS INT) IN (9, 11) AS noindex,
+        CAST(doc_id % 14 AS INT) = 9 AS nofollow,
+        CAST(doc_id % 19 AS INT) <> 4 AS parsed
+      FROM documents
+    """
+    sel = "SELECT url, {t} AS type, {c} AS category, {i} AS issue, {d} AS details FROM pg WHERE {w}"
+    checks = [
+        sel.format(t="'error'", c="'Connectivity'", i="'Connection Error'",
+                   d="'fetch failed'", w="status = 0"),
+        sel.format(t="CASE WHEN arch THEN 'warning' ELSE 'error' END", c="'SEO'",
+                   i="CASE WHEN arch THEN 'Missing Title Tag (Archive/Utility)' ELSE 'Missing Title Tag' END",
+                   d="'Page has no title tag'", w="parsed AND len(title) = 0"),
+        sel.format(t="'warning'", c="'SEO'", i="'Page Titles: Over 60 Characters'",
+                   d="'Title is ' || CAST(len(title) AS VARCHAR) || ' characters'",
+                   w="len(title) > 60"),
+        sel.format(t="'warning'", c="'SEO'", i="'Page Titles: Over 561 Pixels'",
+                   d="'Title is approx ' || CAST(len(title) * 9 AS VARCHAR) || ' pixels'",
+                   w="len(title) * 9 > 561"),
+        sel.format(t="'warning'", c="'SEO'", i="'Title Too Short'",
+                   d="'Title is ' || CAST(len(title) AS VARCHAR) || ' characters (recommended: 30-60)'",
+                   w="len(title) > 0 AND len(title) < 30"),
+        sel.format(t="CASE WHEN ptype = 'archive' THEN 'info' ELSE 'warning' END", c="'SEO'",
+                   i="CASE WHEN ptype = 'archive' THEN 'Meta Description: Missing (Archive/Utility)' ELSE 'Meta Description: Missing' END",
+                   d="'Page has no meta description'", w="parsed AND dlen = 0"),
+        sel.format(t="'warning'", c="'SEO'", i="'Meta Description: Over 155 Characters'",
+                   d="'Description is ' || CAST(dlen AS VARCHAR) || ' characters'",
+                   w="dlen > 155"),
+        sel.format(t="'warning'", c="'SEO'", i="'Meta Description: Over 985 Pixels'",
+                   d="'Description is approx ' || CAST(dlen * 9 AS VARCHAR) || ' pixels'",
+                   w="dlen * 9 > 985"),
+        sel.format(t="CASE WHEN arch THEN 'warning' ELSE 'error' END", c="'SEO'",
+                   i="CASE WHEN arch THEN 'Missing H1 Tag (Archive/Utility)' ELSE 'Missing H1 Tag' END",
+                   d="'Page has no H1 heading'", w="parsed AND n_h1 = 0"),
+        sel.format(t="'warning'", c="'SEO'", i="'H1: Multiple'",
+                   d="'Page has ' || CAST(n_h1 AS VARCHAR) || ' H1 tags'", w="n_h1 > 1"),
+        sel.format(t="'warning'", c="'SEO'", i="'H1: Duplicate'",
+                   d="'Page has duplicate H1 tags'", w="h1_dup"),
+        sel.format(t="'warning'", c="'SEO'", i="'H1: Over 70 Characters'",
+                   d="'H1 is ' || CAST(len(h1) AS VARCHAR) || ' characters'", w="len(h1) > 70"),
+        sel.format(t="CASE WHEN arch THEN 'info' ELSE 'warning' END", c="'SEO'",
+                   i="CASE WHEN arch THEN 'H2: Duplicate (Archive/Utility)' ELSE 'H2: Duplicate' END",
+                   d="'Page has duplicate H2 tags'", w="h2_dup"),
+        sel.format(t="'warning'", c="'Content'", i="'Thin Content'",
+                   d="'Page has only ' || CAST(wc AS VARCHAR) || ' words (recommended: ≥300)'",
+                   w="parsed AND status = 200 AND wc < 300"),
+        sel.format(t="'error'", c="'Technical'", i="'Response Codes: External Client Error (4xx)'",
+                   d="'HTTP ' || CAST(status AS VARCHAR)", w="status >= 400 AND status < 500"),
+        sel.format(t="'error'", c="'Technical'", i="'Response Codes: External Server Error (5xx)'",
+                   d="'HTTP ' || CAST(status AS VARCHAR)", w="status >= 500"),
+        sel.format(t="'info'", c="'Technical'", i="'Response Codes: Internal Redirection (3xx)'",
+                   d="'URL redirects to another location'", w="status >= 300 AND status < 400"),
+        sel.format(t=f"CASE WHEN ({soft_t}) AND ({soft_h}) THEN 'error' ELSE 'warning' END",
+                   c="'Technical'", i="'Soft 404: Returns 200 but appears broken'",
+                   d="'Title \"' || substr(title, 1, 60) || '\" or H1 suggests this is an error page'",
+                   w=f"status = 200 AND (({soft_t}) OR ({soft_h}))"),
+        sel.format(t="'error'", c="'Technical'", i="'Redirect Loop Detected'",
+                   d="'URL redirects back to itself'", w="chain_loop"),
+        sel.format(t="'warning'", c="'Technical'", i="'Long Redirect Chain'",
+                   d="CAST(rc AS VARCHAR) || ' redirects before final destination'", w="rc > 3"),
+        sel.format(t="'info'", c="'Technical'", i="'Redirect Chain'",
+                   d="CAST(rc AS VARCHAR) || ' redirects'", w="rc > 1 AND rc <= 3"),
+        sel.format(t="CASE WHEN ptype = 'archive' THEN 'warning' ELSE 'error' END",
+                   c="'Technical'", i="'Missing Canonical URL'",
+                   d="CASE WHEN ptype = 'important' THEN 'Indexable content page has no canonical URL' "
+                     "WHEN ptype = 'archive' THEN 'Archive page missing canonical (Review if this should be indexed)' "
+                     "ELSE 'Page has no canonical URL specified' END",
+                   w="parsed AND canon_missing AND NOT noindex AND status = 200"),
+        sel.format(t="'error'", c="'Technical'", i="'Canonicals: Canonicalised'",
+                   d="'Page is canonicalised to: https://i.example/'", w="canonicalised"),
+        sel.format(t="'error'", c="'Mobile'", i="'Missing Viewport Meta Tag'",
+                   d="'Page is not mobile-optimized (no viewport meta tag)'",
+                   w="parsed AND status = 200 AND vp_missing"),
+        sel.format(t="'warning'", c="'Accessibility'", i="'Images Missing Alt Text'",
+                   d="CAST(img_missing AS VARCHAR) || ' images without alt text'",
+                   w="img_missing > 0"),
+        sel.format(t="CASE WHEN ptype = 'archive' THEN 'info' WHEN ptype = 'important' THEN 'error' ELSE 'warning' END",
+                   c="'Indexability'", i="'Directives: Noindex'",
+                   d="CASE WHEN ptype = 'archive' THEN 'Source: HTML Meta Tag (Expected for archive page)' "
+                     "WHEN ptype = 'important' THEN 'Source: HTML Meta Tag (Critical: Important page is blocked!)' "
+                     "ELSE 'Source: HTML Meta Tag' END",
+                   w="noindex"),
+        sel.format(t="'warning'", c="'Indexability'", i="'Directives: Nofollow'",
+                   d="'Source: HTML Meta Tag'", w="nofollow"),
+    ]
+    return f"WITH pg AS ({pg})\n" + "\nUNION ALL\n".join(checks)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -517,6 +842,95 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    count(*) AS n
             FROM events GROUP BY event_type
+        """,
+        "i_issue_predicates": _issue_predicates_sql(),
+        "j4_links_to_redirects": """
+            WITH links AS (
+              SELECT 'https://g.example/o' || CAST(l_orderkey AS VARCHAR) AS source_url,
+                     'https://g.example/p' || CAST(l_partkey AS VARCHAR) ||
+                     CASE CAST(l_linenumber % 3 AS INT) WHEN 1 THEN '/' WHEN 2 THEN '#f' ELSE '' END AS target_url
+              FROM lineitem
+            ),
+            pages AS (
+              SELECT 'https://g.example/p' || CAST(p_partkey AS VARCHAR) AS url,
+                     CASE CAST(p_partkey % 10 AS INT) WHEN 3 THEN 301 WHEN 7 THEN 308 ELSE 200 END AS status
+              FROM part
+            ),
+            redirecting AS (
+              SELECT CASE WHEN regexp_matches(n1, '^https?://[^/]+/$') THEN n1
+                          ELSE regexp_replace(n1, '/$', '') END AS _t,
+                     url AS redirect_url
+              FROM (SELECT regexp_replace(lower(trim(url)), '#.*$', '') AS n1, url
+                    FROM pages WHERE status >= 300 AND status < 400)
+            ),
+            l2 AS (
+              SELECT source_url,
+                     CASE WHEN regexp_matches(n1, '^https?://[^/]+/$') THEN n1
+                          ELSE regexp_replace(n1, '/$', '') END AS _t
+              FROM (SELECT source_url, regexp_replace(lower(trim(target_url)), '#.*$', '') AS n1
+                    FROM links)
+            ),
+            j AS (SELECT l2.source_url, r.redirect_url FROM l2 JOIN redirecting r USING (_t))
+            SELECT source_url AS url, 'warning' AS type, 'Links' AS category,
+                   'Internal Links to Redirects' AS issue,
+                   CAST(count(*) AS VARCHAR) || ' internal links point to redirecting URLs' AS details,
+                   count(*) AS n_links_to_redirects,
+                   string_agg(DISTINCT redirect_url, ',' ORDER BY redirect_url) AS redirect_targets
+            FROM j GROUP BY source_url
+        """,
+        "j6_hreflang_reciprocity": """
+            WITH e AS (
+              SELECT 'https://h.example/' || CAST(doc_id AS VARCHAR) AS source, 'en' AS lang,
+                     'https://h.example/' || CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id + 1
+                                                       ELSE doc_id - 1 END AS VARCHAR) AS target
+              FROM documents
+              UNION ALL
+              SELECT 'https://h.example/' || CAST(doc_id AS VARCHAR), 'de',
+                     'https://h.example/' || CAST(doc_id + 3 AS VARCHAR)
+              FROM documents WHERE doc_id % 5 = 0
+            ),
+            e2 AS (SELECT * FROM e WHERE target <> source),
+            back AS (SELECT DISTINCT source AS b_source, target AS b_target FROM e2)
+            SELECT e2.source AS url, 'warning' AS type, 'International' AS category,
+                   'Hreflang: Missing Return Link' AS issue,
+                   'hreflang to ' || e2.target || ' has no return link' AS details,
+                   e2.target AS hreflang_target, e2.lang AS lang
+            FROM e2 LEFT JOIN back ON e2.target = back.b_source AND e2.source = back.b_target
+            WHERE back.b_source IS NULL
+        """,
+        "j7_dup_candidates": """
+            WITH p AS (
+              SELECT 'https://c.example/' || CAST(doc_id AS VARCHAR) AS url,
+                     lower(trim('Title ' || substr(text, 1, 10 + CAST(doc_id % 40 AS INT)))) AS t,
+                     lower(trim('Desc ' || substr(text, 20, 30))) AS d
+              FROM documents WHERE doc_id % 97 = 0
+            ),
+            f AS (SELECT url, t, d FROM p WHERE len(t) > 0 AND len(d) > 0),
+            b AS (
+              SELECT url, t,
+                     CAST(floor(ln(CAST(greatest(len(t), 1) AS DOUBLE))
+                          / ln(1.0 / (((0.85 - 0.65) / 0.35) / (2.0 - (0.85 - 0.65) / 0.35)))) AS INT) AS band
+              FROM f
+            ),
+            l AS (SELECT url, unnest([band - 1, band, band + 1]) AS probe FROM b)
+            SELECT DISTINCT a.url AS url_a, r.url AS url_b
+            FROM l a JOIN b r ON a.probe = r.band AND a.url < r.url
+        """,
+        "c14_backoff_math": """
+            WITH r AS (
+              SELECT event_type,
+                     CAST(event_id % 5 AS INT) AS rc,
+                     CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 1
+                          THEN CAST(json_extract_string(props, '$.k') AS DOUBLE) END AS ra
+              FROM events
+            )
+            SELECT event_type,
+                   round(sum(CASE WHEN rc <= 0 THEN 0.0 ELSE
+                     list_sum(list_transform(range(0, rc),
+                              a -> least(coalesce(ra, 1.0 * pow(2, a)), 30.0)))
+                   END), 4) AS total_backoff,
+                   count(*) AS n
+            FROM r GROUP BY event_type
         """,
         "a4_array_filter": """
             SELECT vec_id,

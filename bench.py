@@ -153,8 +153,10 @@ def bench_extract(spark, n_docs: int = 200_000) -> dict:
     elapsed, n_out = 1e18, 0
     for _ in range(reps):
         t0 = time.time()
-        pages = X.extract_pages(X.join_fetch(frontier, fetch_map, docs),
-                                "b0.example", crawl_external=True, max_depth=5)
+        fetched = X.resolve_retries_inline(
+            X.join_fetch(frontier, fetch_map, docs), retries=3, base_delay=1.0
+        )
+        pages = X.extract_pages(fetched, "b0.example", crawl_external=True, max_depth=5)
         n_out = pages.count()
         elapsed = min(elapsed, time.time() - t0)
     docs.unpersist()

@@ -43,6 +43,17 @@ class CrawlConfig:
     exclude_patterns: tuple[str, ...] = ()
     issue_exclusion_patterns: tuple[str, ...] = ()
     # Engine-only knobs (no reference analogue — scale controls):
+    # retry_mode: how the reference's blocking 429 retry loop
+    # (crawler.py:941-976) is re-expressed in the batch engine.
+    #  - "inline": closed-form per-row resolution in the same wave. The
+    #    reference blocks its concurrency-1 worker during backoff, so
+    #    inline resolution reproduces its crawl ordering EXACTLY.
+    #  - "requeue": 429 rows re-enter the frontier with retry_count+1 and
+    #    become eligible at wave + ceil(backoff/wave_seconds) — the
+    #    scale-true design when waves model wall-clock (a host genuinely
+    #    recovering between waves); crawl ordering of retried rows shifts
+    #    to their recovery wave.
+    retry_mode: str = "inline"
     wave_seconds: float = 60.0              # politeness budget window per wave
     host_salt_buckets: int = 16             # salted repartition fan-out for hot hosts
     bloom_expected_items: int = 10_000_000  # seen-set bloom sizing at 1e10 design scale

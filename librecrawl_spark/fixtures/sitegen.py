@@ -49,14 +49,19 @@ _WORDS = (
 
 
 def http_span(status=200, content_type="text/html", size=1000, redirect="",
-              retry_after="", xrobots=""):
-    return {
-        "kind": "http",
-        "text": f"status={status};content_type={content_type};size={size};"
-        f"redirect={redirect};retry_after={retry_after};xrobots={xrobots}",
-        "media_ref": "",
-        "offset": 0,
-    }
+              retry_after="", xrobots="", recover_after=0, recover_status=0):
+    """``recover_after=N`` (N>=1) models a host that recovers after N
+    attempts: attempts 0..N-1 return ``status`` (a 429), attempt >= N
+    returns ``recover_status``. Never combined with redirect statuses
+    (requests re-follows the whole chain per attempt; the fixture keeps
+    recovery on terminal hops only)."""
+    text = (
+        f"status={status};content_type={content_type};size={size};"
+        f"redirect={redirect};retry_after={retry_after};xrobots={xrobots}"
+    )
+    if recover_after:
+        text += f";recover_after={recover_after};recover_status={recover_status}"
+    return {"kind": "http", "text": text, "media_ref": "", "offset": 0}
 
 
 @dataclass
@@ -72,6 +77,7 @@ class SiteGenConfig:
     near_dup_pairs: int = 2
     redirect_chains: bool = True
     robots_disallow: bool = True
+    sitemap_index: bool = False        # base host: nested sitemapindex instead of flat urlset
 
 
 @dataclass
@@ -79,6 +85,7 @@ class Site:
     documents: list = field(default_factory=list)   # rows {doc_id, spans}
     hosts: list = field(default_factory=list)       # rows {host, robots_txt, crawl_delay, sitemap_xml}
     seeds: list = field(default_factory=list)       # rows {url, priority}
+    sitemap_bodies: dict = field(default_factory=dict)  # nested sitemap URL -> xml
     base_url: str = ""
     base_domain: str = ""
 
@@ -128,6 +135,7 @@ def generate_site(cfg: SiteGenConfig | None = None) -> Site:
 
             # status pathology mix (deterministic by page index)
             status, redirect, retry_after = 200, "", ""
+            recover_after, recover_status = 0, 0
             is_trap_page = "/p/" in url
             if not is_trap_page and pi > 0:
                 m = pi % 17
@@ -136,14 +144,20 @@ def generate_site(cfg: SiteGenConfig | None = None) -> Site:
                 elif m == 9:
                     status = 500
                 elif m == 13:
+                    # 429 host: odd page index recovers after 2 attempts
+                    # (within the default retries=3); even stays 429 past
+                    # the retry budget — both reference outcomes exercised
                     status, retry_after = 429, "3"
+                    if pi % 2 == 1:
+                        recover_after, recover_status = 2, 200
                 elif m == 11 and cfg.redirect_chains and pi + 1 < len(urls):
                     status, redirect = 301, urls[pi + 1]
                 elif m == 15 and cfg.redirect_chains:
                     status, redirect = 302, urls[0]
             size = 500 + prng.randrange(4000)
             xrobots = "noindex" if (pi % 13 == 7) else ""
-            spans.append(http_span(status, "text/html", size, redirect, retry_after, xrobots))
+            spans.append(http_span(status, "text/html", size, redirect, retry_after,
+                                   xrobots, recover_after, recover_status))
 
             if status in (301, 302):
                 site.documents.append({"doc_id": url, "spans": spans})
@@ -291,11 +305,35 @@ def generate_site(cfg: SiteGenConfig | None = None) -> Site:
         lines.append(f"Sitemap: https://{host}/sitemap.xml")
         from xml.sax.saxutils import escape
 
-        locs = "".join(
-            f"<url><loc>{escape(u)}</loc></url>"
-            for u in pages_of[host][: min(10, len(pages_of[host]))]
-        )
-        sitemap = f'<?xml version="1.0"?><urlset>{locs}</urlset>'
+        sm_pages = pages_of[host][: min(10, len(pages_of[host]))]
+
+        def urlset(us):
+            return ('<?xml version="1.0"?><urlset>'
+                    + "".join(f"<url><loc>{escape(u)}</loc></url>" for u in us)
+                    + "</urlset>")
+
+        if hi == 0 and cfg.sitemap_index:
+            # nested layout, same page URLs in the same depth-first order
+            # as the flat urlset: root index -> [chunk-a, nested index ->
+            # chunk-b] (exercises the 2-deep recursion of S6)
+            half = (len(sm_pages) + 1) // 2
+            a_url = f"https://{host}/sitemap-a.xml"
+            b_url = f"https://{host}/sitemap-b.xml"
+            idx2_url = f"https://{host}/sitemap-idx2.xml"
+            site.sitemap_bodies[a_url] = urlset(sm_pages[:half])
+            site.sitemap_bodies[b_url] = urlset(sm_pages[half:])
+            site.sitemap_bodies[idx2_url] = (
+                '<?xml version="1.0"?><sitemapindex>'
+                f"<sitemap><loc>{b_url}</loc></sitemap></sitemapindex>"
+            )
+            sitemap = (
+                '<?xml version="1.0"?><sitemapindex>'
+                f"<sitemap><loc>{a_url}</loc></sitemap>"
+                f"<sitemap><loc>{idx2_url}</loc></sitemap>"
+                "</sitemapindex>"
+            )
+        else:
+            sitemap = urlset(sm_pages)
         site.hosts.append({
             "host": host,
             "robots_txt": "\n".join(lines),

@@ -29,21 +29,30 @@ MAX_REDIRECTS = 10
 _WORD_RE = re.compile(r"\b\w+\b")
 
 
-def parse_http(spans) -> dict:
-    """Decode the synthetic response-metadata span (fixture 'http' kind)."""
+def parse_http(spans, attempt: int = 0) -> dict:
+    """Decode the synthetic response-metadata span (fixture 'http' kind).
+
+    ``attempt`` models re-requests: a span with recover_after=N returns
+    recover_status from attempt N onward (a rate-limited host coming
+    back between retry attempts)."""
     for s in spans:
         if s["kind"] == "http":
             d = dict(p.split("=", 1) for p in s["text"].split(";") if "=" in p)
+            status = int(d.get("status", "0") or 0)
+            recover_after = int(d.get("recover_after", "0") or 0)
+            if recover_after and attempt >= recover_after:
+                status = int(d.get("recover_status", "0") or 0)
             return {
-                "status": int(d.get("status", "0") or 0),
+                "status": status,
                 "content_type": d.get("content_type", ""),
                 "size": int(d.get("size", "0") or 0),
                 "redirect": d.get("redirect", ""),
                 "retry_after": d.get("retry_after", ""),
                 "xrobots": d.get("xrobots", ""),
+                "recover_after": recover_after,
             }
     return {"status": 0, "content_type": "", "size": 0, "redirect": "",
-            "retry_after": "", "xrobots": ""}
+            "retry_after": "", "xrobots": "", "recover_after": 0}
 
 
 def _split3(text: str) -> tuple[str, str, str]:
@@ -257,7 +266,7 @@ def frontier_candidates(url: str, spans):
     return out
 
 
-def resolve_fetch(url: str, docs: dict) -> dict:
+def resolve_fetch(url: str, docs: dict, attempt: int = 0) -> dict:
     """Simulated fetch with redirect following — the sandbox stand-in for
     crawler.py:944-976 (requests.get with allow_redirects): returns final
     doc + redirect chain. ``docs`` maps doc_id -> spans. A missing doc is
@@ -275,7 +284,7 @@ def resolve_fetch(url: str, docs: dict) -> dict:
         if spans is None:
             return {"error": "fetch failed", "status": 0, "final_url": cur,
                     "chain": chain, "spans": None, "http": None}
-        http = parse_http(spans)
+        http = parse_http(spans, attempt)
         if http["status"] in (301, 302, 303, 307, 308) and http["redirect"]:
             chain.append({"url": cur, "status_code": http["status"], "hop": len(chain) + 1})
             hops += 1
@@ -291,3 +300,26 @@ def resolve_fetch(url: str, docs: dict) -> dict:
                           "hop": len(chain) + 1, "final": True})
         return {"error": None, "status": http["status"], "final_url": cur,
                 "chain": chain, "spans": spans, "http": http}
+
+
+def retry_fetch(url: str, docs: dict, retries: int, base_delay: float):
+    """The reference's 429 retry loop (crawler.py:941-976): up to
+    ``retries`` retries on a 429 response, waiting min(Retry-After or
+    base_delay * 2^attempt, 30) seconds between attempts; any other
+    status breaks immediately. Each attempt is a fresh GET following
+    redirects. Returns (fetch, retry_count, backoff_total_seconds)."""
+    total_wait = 0.0
+    attempt = 0
+    while True:
+        fetch = resolve_fetch(url, docs, attempt=attempt)
+        status = fetch["http"]["status"] if fetch["http"] else 0
+        if status == 429 and attempt < retries:
+            ra = fetch["http"]["retry_after"]
+            try:
+                wait = float(int(ra))  # int() like crawler.py:958; ValueError -> backoff
+            except (TypeError, ValueError):
+                wait = base_delay * (2 ** attempt)
+            total_wait += min(wait, 30.0)  # cap, crawler.py:966
+            attempt += 1
+            continue
+        return fetch, attempt, total_wait

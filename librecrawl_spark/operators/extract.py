@@ -37,6 +37,7 @@ CHAIN_STRUCT = "url: string, status_code: int, hop: int, final: boolean"
 PAGE_SCHEMA = (
     "url string, depth int, seq long, wave int, "
     "status_code int, content_type string, size long, is_internal boolean, "
+    "retry_count int, backoff_total double, "
     "error string, redirect_count int, redirects array<string>, "
     f"redirect_chain array<struct<{CHAIN_STRUCT}>>, final_url string, "
     "title string, meta_description string, h1 string, h1_list array<string>, "
@@ -72,6 +73,8 @@ def http_meta(documents: DataFrame) -> DataFrame:
             F.coalesce(m["redirect"], F.lit("")).alias("redirect"),
             F.coalesce(m["retry_after"], F.lit("")).alias("retry_after"),
             F.coalesce(m["xrobots"], F.lit("")).alias("xrobots"),
+            F.coalesce(m["recover_after"].cast("int"), F.lit(0)).alias("recover_after"),
+            F.coalesce(m["recover_status"].cast("int"), F.lit(0)).alias("recover_status"),
         )
     )
 
@@ -92,6 +95,7 @@ def resolve_redirects(meta: DataFrame) -> DataFrame:
         F.col("doc_id"),
         F.col("doc_id").alias("cur_id"),
         "status", "content_type", "size", "redirect", "retry_after", "xrobots",
+        "recover_after", "recover_status",
         F.array().cast(f"array<struct<{CHAIN_STRUCT}>>").alias("chain"),
         F.lit(None).cast("string").alias("error"),
     )
@@ -116,6 +120,8 @@ def resolve_redirects(meta: DataFrame) -> DataFrame:
             F.col("redirect").alias("_n_redirect"),
             F.col("retry_after").alias("_n_ra"),
             F.col("xrobots").alias("_n_xr"),
+            F.col("recover_after").alias("_n_rca"),
+            F.col("recover_status").alias("_n_rcs"),
         )
         stepped = (
             moving.withColumn("chain", F.concat("chain", F.array(hop_entry)))
@@ -131,6 +137,8 @@ def resolve_redirects(meta: DataFrame) -> DataFrame:
             F.coalesce("_n_redirect", F.lit("")).alias("redirect"),
             F.coalesce("_n_ra", F.lit("")).alias("retry_after"),
             F.coalesce("_n_xr", F.lit("")).alias("xrobots"),
+            F.coalesce("_n_rca", F.lit(0)).alias("recover_after"),
+            F.coalesce("_n_rcs", F.lit(0)).alias("recover_status"),
             "chain",
             F.when(F.col("_n_id").isNull(), F.lit("fetch failed"))
             .when(loop | (F.size("chain") > MAX_REDIRECTS), F.lit("too many redirects"))
@@ -165,6 +173,8 @@ def resolve_redirects(meta: DataFrame) -> DataFrame:
         F.when(errored, F.lit("")).otherwise(F.col("content_type")).alias("content_type"),
         F.when(errored, F.lit(0)).otherwise(F.col("size")).alias("size"),
         F.col("retry_after"),
+        F.when(errored, F.lit(0)).otherwise(F.col("recover_after")).alias("recover_after"),
+        F.when(errored, F.lit(0)).otherwise(F.col("recover_status")).alias("recover_status"),
         F.when(errored, F.lit("")).otherwise(F.col("xrobots")).alias("x_robots_tag"),
         F.when(errored | ~has_chain, F.col("chain"))
         .otherwise(F.concat("chain", F.array(final_entry)))
@@ -193,12 +203,17 @@ def join_fetch(frontier: DataFrame, fetch_map: DataFrame, documents: DataFrame) 
         F.when(F.col("url").rlike("^https?://[^/]*$"), F.concat(F.col("url"), F.lit("/")))
         .otherwise(F.col("url")),
     )
+    if "retry_count" not in f.columns:
+        f = f.withColumn("retry_count", F.lit(0))
     joined = f.join(fetch_map, f["fetch_key"] == fetch_map["doc_id"], "left").drop("doc_id")
     joined = joined.select(
-        "url", "depth", "seq", "wave",
+        "url", "depth", "seq", "wave", "retry_count",
         F.coalesce("status_code", F.lit(0)).alias("status_code"),
         F.coalesce("content_type", F.lit("")).alias("content_type"),
         F.coalesce("size", F.lit(0)).alias("size"),
+        F.coalesce("retry_after", F.lit("")).alias("retry_after"),
+        F.coalesce("recover_after", F.lit(0)).alias("recover_after"),
+        F.coalesce("recover_status", F.lit(0)).alias("recover_status"),
         F.coalesce("x_robots_tag", F.lit("")).alias("x_robots_tag"),
         F.coalesce(
             "error",
@@ -217,6 +232,137 @@ def join_fetch(frontier: DataFrame, fetch_map: DataFrame, documents: DataFrame) 
         "final_doc_id",
         "left",
     ).drop("final_doc_id")
+
+
+def _backoff_wait(attempt_col, base_delay: float):
+    """C14 (crawler.py:955-966): one attempt's wait =
+    min(int(Retry-After) if parseable else base_delay * 2^attempt, 30)."""
+    return F.least(
+        F.coalesce(
+            F.expr("try_cast(retry_after AS int)").cast("double"),
+            F.lit(base_delay) * F.pow(F.lit(2.0), attempt_col),
+        ),
+        F.lit(30.0),
+    )
+
+
+def _backoff_total_expr(base_delay: float):
+    """Total sleep across attempts 0..retry_count-1 (closed form of the
+    reference's sequential loop), as a pure column expression."""
+    return F.when(F.col("retry_count") <= 0, F.lit(0.0)).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(0), F.col("retry_count") - 1),
+            F.lit(0.0),
+            lambda acc, a: acc + _backoff_wait(a.cast("double"), base_delay),
+        )
+    )
+
+
+def apply_size_gate(fetched: DataFrame, max_file_size: int) -> DataFrame:
+    """S2 (crawler.py:916-931): the HEAD content-length gate. Runs BEFORE
+    the retry loop, sees the post-redirect size (HEAD follows redirects),
+    and produces the reference's create_empty_result shape: status 0,
+    size 0, error 'File too large: N bytes', no extraction, no links —
+    but the page row IS recorded and consumes budget."""
+    if max_file_size <= 0:
+        return fetched
+    too_big = F.col("error").isNull() & (F.col("size") > max_file_size)
+    return fetched.select(
+        *[
+            c if c not in _GATED else _GATED[c](too_big)
+            for c in fetched.columns
+        ]
+    )
+
+
+_GATED = {
+    "error": lambda g: F.when(
+        g, F.concat(F.lit("File too large: "), F.col("size").cast("string"), F.lit(" bytes"))
+    ).otherwise(F.col("error")).alias("error"),
+    "status_code": lambda g: F.when(g, F.lit(0)).otherwise(F.col("status_code")).alias("status_code"),
+    "content_type": lambda g: F.when(g, F.lit("")).otherwise(F.col("content_type")).alias("content_type"),
+    "size": lambda g: F.when(g, F.lit(0)).otherwise(F.col("size")).alias("size"),
+    "x_robots_tag": lambda g: F.when(g, F.lit("")).otherwise(F.col("x_robots_tag")).alias("x_robots_tag"),
+    "redirect_count": lambda g: F.when(g, F.lit(0)).otherwise(F.col("redirect_count")).alias("redirect_count"),
+    "redirects": lambda g: F.when(g, F.array().cast("array<string>")).otherwise(F.col("redirects")).alias("redirects"),
+    "redirect_chain": lambda g: F.when(
+        g, F.array().cast(f"array<struct<{CHAIN_STRUCT}>>")
+    ).otherwise(F.col("redirect_chain")).alias("redirect_chain"),
+    "final_url": lambda g: F.when(g, F.lit(None).cast("string")).otherwise(F.col("final_url")).alias("final_url"),
+    "recover_after": lambda g: F.when(g, F.lit(0)).otherwise(F.col("recover_after")).alias("recover_after"),
+    "spans": lambda g: F.when(g, F.lit(None).cast(_SPANS_TYPE)).otherwise(F.col("spans")).alias("spans"),
+}
+
+_SPANS_TYPE = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+
+
+def resolve_retries_inline(fetched: DataFrame, retries: int, base_delay: float) -> DataFrame:
+    """S1/C14, inline mode: closed-form per-row resolution of the
+    reference's blocking retry loop (crawler.py:941-976). With the
+    fixture's attempt-indexed recover_after field the loop outcome is a
+    pure function of the row:
+
+    - 429 that recovers within the retry budget -> recovered status,
+      retry_count = recover_after
+    - 429 that never recovers (or too late)     -> stays 429,
+      retry_count = retries (the budget is exhausted, crawler.py:951-953)
+    - anything else                              -> retry_count = 0
+
+    backoff_total is the total simulated sleep (min(Retry-After or
+    base*2^a, 30) summed over attempts) — observable in the reference as
+    wall-clock, recorded here as a column. Order-preserving: the
+    reference blocks its worker during backoff, so same-wave resolution
+    reproduces its concurrency-1 crawl ordering exactly."""
+    is_429 = F.col("error").isNull() & (F.col("status_code") == 429)
+    recovers = (F.col("recover_after") > 0) & (F.col("recover_after") <= retries)
+    rc = (
+        F.when(is_429 & recovers, F.col("recover_after"))
+        .when(is_429, F.lit(retries))
+        .otherwise(F.lit(0))
+    )
+    status = F.when(is_429 & recovers, F.col("recover_status")).otherwise(F.col("status_code"))
+    return (
+        fetched.withColumn("retry_count", rc.cast("int"))
+        .withColumn("status_code", status)
+        .withColumn("backoff_total", _backoff_total_expr(base_delay))
+        .drop("retry_after", "recover_after", "recover_status")
+    )
+
+
+def split_retries(fetched: DataFrame, retries: int, base_delay: float,
+                  wave: int, wave_seconds: float) -> tuple[DataFrame, DataFrame]:
+    """S1/C14, requeue mode: one attempt per wave. Rows answering 429
+    with retry budget left re-enter the frontier with retry_count+1 and
+    become eligible at wave + ceil(backoff/wave_seconds); everything else
+    is recorded. The scale-true re-expression when waves model
+    wall-clock: a recovering host's rows resolve in a later wave instead
+    of blocking an executor. Returns (record_rows, requeue_rows)."""
+    # effective status of THIS attempt (attempt number = retry_count)
+    eff = F.when(
+        (F.col("recover_after") > 0) & (F.col("retry_count") >= F.col("recover_after")),
+        F.col("recover_status"),
+    ).otherwise(F.col("status_code"))
+    f = fetched.withColumn("status_code", eff)
+    should_retry = (
+        F.col("error").isNull() & (F.col("status_code") == 429) & (F.col("retry_count") < retries)
+    )
+    wait = _backoff_wait(F.col("retry_count").cast("double"), base_delay)
+    requeue = (
+        f.filter(should_retry)
+        .select(
+            "url", "depth", "seq",
+            F.lit(wave).alias("wave"),
+            (F.col("retry_count") + 1).cast("int").alias("retry_count"),
+            (F.lit(wave) + F.greatest(F.ceil(wait / F.lit(wave_seconds)), F.lit(1)))
+            .cast("int").alias("ready_wave"),
+        )
+    )
+    record = (
+        f.filter(~should_retry)
+        .withColumn("backoff_total", _backoff_total_expr(base_delay))
+        .drop("retry_after", "recover_after", "recover_status")
+    )
+    return record, requeue
 
 
 def extract_pages(fetched: DataFrame, base_domain: str, *,
@@ -267,6 +413,7 @@ def extract_pages(fetched: DataFrame, base_domain: str, *,
                     "url": url, "depth": r.depth, "seq": r.seq, "wave": r.wave,
                     "status_code": r.status_code, "content_type": r.content_type,
                     "size": r.size, "is_internal": is_internal, "error": r.error,
+                    "retry_count": r.retry_count, "backoff_total": r.backoff_total,
                     "redirect_count": r.redirect_count,
                     "redirects": list(r.redirects),
                     "redirect_chain": [dict(c) for c in r.redirect_chain],

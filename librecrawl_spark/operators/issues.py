@@ -442,22 +442,11 @@ def sitemap_health(sitemap_urls: DataFrame, pages: DataFrame) -> DataFrame:
 DUP_WEIGHTS = {"title": 0.35, "desc": 0.35, "h1": 0.20, "word_count": 0.10}
 
 
-def duplicate_content_pairs(pages: DataFrame, threshold: float = 0.85) -> DataFrame:
-    """J7 (issue_detector.py:1299-1431): weighted SequenceMatcher
-    similarity over (title, meta_description, h1, word_count); pairs with
-    score >= threshold are duplicates.
-
-    Blocking (lossless for threshold > 0.65): a flagged pair needs
-    title_sim >= (threshold-0.65)/0.35 and desc_sim >= (threshold-0.65)/0.35,
-    hence both titles and both descriptions non-empty, and SequenceMatcher
-    ratio = 2M/(l1+l2) <= 2*min(l)/ (l1+l2) forces a length-ratio bound
-    min/max >= r/(2-r). We block on title-length bands sized to that
-    bound (each side joins its own band and the next), then verify the
-    exact staged formula per pair in an Arrow UDF — identical math to the
-    reference, including its early exits (which only skip pairs that
-    cannot reach the threshold)."""
-    import math
-
+def dup_candidate_pairs(pages: DataFrame, threshold: float = 0.85) -> DataFrame:
+    """The lossless blocking stage of J7 on its own: title-length-band
+    candidate pairs (see duplicate_content_pairs for the bound proof).
+    Split out so the candidate set itself is oracle-checkable in SQL
+    (the difflib verify stage is not SQL-expressible)."""
     need = (threshold - (1.0 - DUP_WEIGHTS["title"])) / DUP_WEIGHTS["title"]
     if need <= 0:
         raise ValueError("threshold too low for lossless title blocking; use <=0.65 path")
@@ -481,7 +470,7 @@ def duplicate_content_pairs(pages: DataFrame, threshold: float = 0.85) -> DataFr
         "probe", F.explode(F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1))
     )
     right = d.withColumnRenamed("band", "probe")
-    pairs = left.alias("a").join(
+    return left.alias("a").join(
         right.alias("b"),
         (F.col("a.probe") == F.col("b.probe")) & (F.col("a.url") < F.col("b.url")),
     ).select(
@@ -491,6 +480,30 @@ def duplicate_content_pairs(pages: DataFrame, threshold: float = 0.85) -> DataFr
         F.col("b.d").alias("d_b"), F.col("b.h").alias("h_b"), F.col("b.wc").alias("wc_b"),
     ).dropDuplicates(["url_a", "url_b"])
 
+
+def duplicate_content_pairs(pages: DataFrame, threshold: float = 0.85) -> DataFrame:
+    """J7 (issue_detector.py:1299-1431): weighted SequenceMatcher
+    similarity over (title, meta_description, h1, word_count); pairs with
+    score >= threshold are duplicates.
+
+    Blocking (lossless for threshold > 0.65): a flagged pair needs
+    title_sim >= (threshold-0.65)/0.35 and desc_sim >= (threshold-0.65)/0.35,
+    hence both titles and both descriptions non-empty, and SequenceMatcher
+    ratio = 2M/(l1+l2) <= 2*min(l)/ (l1+l2) forces a length-ratio bound
+    min/max >= r/(2-r). We block on title-length bands sized to that
+    bound (each side joins its own band and the next), then verify the
+    exact staged formula per pair in an Arrow UDF — identical math to the
+    reference, including its early exits (which only skip pairs that
+    cannot reach the threshold)."""
+    import math
+
+    need = (threshold - (1.0 - DUP_WEIGHTS["title"])) / DUP_WEIGHTS["title"]
+    if need <= 0:
+        raise ValueError("threshold too low for lossless title blocking; use <=0.65 path")
+    ratio_bound = need / (2.0 - need)  # min/max title length
+    base = 1.0 / ratio_bound
+
+    pairs = dup_candidate_pairs(pages, threshold)
     w = DUP_WEIGHTS
 
     def score_pairs(batches):

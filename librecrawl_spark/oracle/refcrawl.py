@@ -32,10 +32,12 @@ from librecrawl_spark.functions import spandoc, urls as U
 
 class ReferenceCrawlOracle:
     def __init__(self, documents: list[dict], hosts: list[dict],
-                 base_url: str, config: CrawlConfig):
+                 base_url: str, config: CrawlConfig,
+                 sitemap_bodies: dict[str, str] | None = None):
         self.docs = {d["doc_id"]: d["spans"] for d in documents}
         self.robots_txt = {h["host"]: h["robots_txt"] for h in hosts}
         self.sitemap_xml_by_host = {h["host"]: h.get("sitemap_xml") for h in hosts}
+        self.sitemap_bodies = sitemap_bodies or {}
         self.config = config.for_seed(base_url)
         self.base_url = base_url
         self.base_domain = urlparse(base_url).netloc
@@ -125,13 +127,34 @@ class ReferenceCrawlOracle:
 
     # --- crawler._crawl_url_with_requests (crawler.py:909-1120) ----------
     def _crawl_url(self, url: str, depth: int) -> dict:
-        fetch = spandoc.resolve_fetch(url, self.docs)
+        cfg = self.config
+        # S2: HEAD max_file_size gate (crawler.py:916-931) — HEAD follows
+        # redirects, so the gate sees the final hop's content-length; a
+        # failing HEAD is ignored ("except: pass").
+        if cfg.max_file_size > 0:
+            head = spandoc.resolve_fetch(url, self.docs)
+            if head["error"] is None and head["http"]["size"] > cfg.max_file_size:
+                result = {
+                    "url": url, "status_code": 0, "content_type": "", "size": 0,
+                    "is_internal": False, "depth": depth,
+                    "error": f"File too large: {head['http']['size']} bytes",
+                    "redirect_count": 0, "redirects": [], "redirect_chain": [],
+                    "x_robots_tag": "", "retry_count": 0, "backoff_total": 0.0,
+                }
+                result.update(spandoc.extract_page(url, [], self.base_domain))
+                result["word_count"] = 0
+                return result
+
+        fetch, retry_count, backoff_total = spandoc.retry_fetch(
+            url, self.docs, cfg.retries, cfg.delay
+        )
         if fetch["error"] is not None:
             result = {
                 "url": url, "status_code": 0, "content_type": "", "size": 0,
                 "is_internal": False, "depth": depth, "error": fetch["error"],
                 "redirect_count": 0, "redirects": [], "redirect_chain": [],
-                "x_robots_tag": "",
+                "x_robots_tag": "", "retry_count": retry_count,
+                "backoff_total": backoff_total,
             }
             result.update({k: v for k, v in spandoc.extract_page(url, [], self.base_domain).items()})
             result["word_count"] = 0
@@ -152,6 +175,8 @@ class ReferenceCrawlOracle:
             "final_url": fetch["final_url"] if fetch["chain"] else None,
             # crawler.py:1031 — X-Robots-Tag from the (final) response headers
             "x_robots_tag": http["xrobots"],
+            "retry_count": retry_count,
+            "backoff_total": backoff_total,
         }
         spans = fetch["spans"]
         if "text/html" in http["content_type"]:
@@ -170,23 +195,36 @@ class ReferenceCrawlOracle:
         return result
 
     # --- sitemap bootstrap (crawler.py:362-381) ---------------------------
-    def _sitemap_locs(self) -> list[str]:
-        """Page URLs from the base host's sitemap body, in document order
-        (the fixture models discover_sitemaps' fetch)."""
+    def _parse_sitemap_body(self, body: str | None, depth: int = 1) -> list[str]:
+        """Independent transcription of sitemap_parser._parse_sitemap
+        (sitemap_parser.py:68-148): nested <sitemap> references recurse
+        depth-first (resolved through the sitemap_bodies fetch stand-in)
+        BEFORE the document's own <url> entries; bounded at depth 10."""
         import xml.etree.ElementTree as ET
 
-        host = urlparse(self.base_url).netloc
-        body = self.sitemap_xml_by_host.get(host)
-        if not body:
+        if depth > 10 or not body:
             return []
         try:
             root = ET.fromstring(body)
         except ET.ParseError:
             return []
-        if root.tag.split("}")[-1] != "urlset":
-            return []
-        return [el.text.strip() for el in root.iter()
-                if el.tag.split("}")[-1] == "loc" and el.text]
+        for el in root.iter():
+            if "}" in el.tag:
+                el.tag = el.tag.split("}")[1]
+        out: list[str] = []
+        for sm_loc in root.findall(".//sitemap/loc"):
+            if sm_loc.text:
+                out += self._parse_sitemap_body(
+                    self.sitemap_bodies.get(sm_loc.text.strip()), depth + 1
+                )
+        out += [l.text.strip() for l in root.findall(".//url/loc") if l.text]
+        return out
+
+    def _sitemap_locs(self) -> list[str]:
+        """Page URLs from the base host's sitemap body, in document order
+        (the fixture models discover_sitemaps' fetch)."""
+        host = urlparse(self.base_url).netloc
+        return self._parse_sitemap_body(self.sitemap_xml_by_host.get(host))
 
     # --- crawler._crawl_worker at concurrency=1 (crawler.py:757-899) -----
     def run(self, seed_urls: list[str] | None = None) -> dict:

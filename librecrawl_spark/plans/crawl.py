@@ -63,6 +63,7 @@ class CrawlEngine:
         politeness: bool = False,
         checkpoint_dir: str | None = None,
         max_waves: int | None = None,
+        sitemap_bodies: dict[str, str] | None = None,
     ):
         self.spark = spark
         self.documents = documents
@@ -74,6 +75,7 @@ class CrawlEngine:
         self.politeness = politeness
         self.tio = TableIO(checkpoint_dir) if checkpoint_dir else None
         self.max_waves = max_waves
+        self.sitemap_bodies = sitemap_bodies or {}
 
     @staticmethod
     def _with_hash(df: DataFrame) -> DataFrame:
@@ -94,23 +96,19 @@ class CrawlEngine:
         if not self.config.discover_sitemaps:
             return out
         import urllib.robotparser
-        import xml.etree.ElementTree as ET
 
         from librecrawl_spark.functions import urls as U
+        from librecrawl_spark.sources.sitemap import recursive_locs
 
         rows = self.hosts.filter(F.col("host") == self.base_domain).select(
             "robots_txt", "sitemap_xml"
         ).collect()
         if not rows or not rows[0]["sitemap_xml"]:
             return out
-        try:
-            root = ET.fromstring(rows[0]["sitemap_xml"])
-        except ET.ParseError:
-            return out
-        if root.tag.split("}")[-1] != "urlset":
-            return out
-        locs = [el.text.strip() for el in root.iter()
-                if el.tag.split("}")[-1] == "loc" and el.text]
+        # S6: recursive sitemap-index parse (sitemap_parser.py:68-148) —
+        # nested indexes resolve through sitemap_bodies, depth-first,
+        # bounded at 10 levels, page URLs in document order
+        locs = recursive_locs(rows[0]["sitemap_xml"], self.sitemap_bodies)
 
         cfg = self.config
         loc_hosts = {urlparse(u).netloc for u in locs}
@@ -155,7 +153,9 @@ class CrawlEngine:
                 seed_seen.add(u)
                 seed_rows.append((u, 0, len(seed_rows), 0))
         pending = spark.createDataFrame(
-            seed_rows, schema="url string, depth int, seq long, wave int"
+            [(u, d, s, w, 0, 0) for (u, d, s, w) in seed_rows],
+            schema="url string, depth int, seq long, wave int, "
+                   "retry_count int, ready_wave int",
         )
         return {
             "pending": pending,
@@ -174,6 +174,10 @@ class CrawlEngine:
             name: self.tio.read(self.spark, name, ck["tables"][name])
             for name in STATE_TABLES
         }
+        # forward-compat: checkpoints written before retry support
+        for col, default in (("retry_count", 0), ("ready_wave", 0)):
+            if col not in st["pending"].columns:
+                st["pending"] = st["pending"].withColumn(col, F.lit(default))
         st.update(ck["state"])
         return st
 
@@ -221,9 +225,24 @@ class CrawlEngine:
                 break
             t0 = time.time()
             pending, seen, counts = st["pending"], st["seen"], st["counts"]
-            eligible = pending.filter(F.col("depth") <= cfg.max_depth)
+            wave = st["wave"]
+            eligible = pending.filter(
+                (F.col("depth") <= cfg.max_depth) & (F.col("ready_wave") <= wave)
+            )
             n_eligible = eligible.count()
             if n_eligible == 0:
+                # requeue mode: rows backing off may only be ready in a
+                # future wave — advance simulated time instead of stopping
+                if cfg.retry_mode == "requeue":
+                    nxt = (
+                        pending.filter(
+                            (F.col("depth") <= cfg.max_depth) & (F.col("ready_wave") > wave)
+                        )
+                        .agg(F.min("ready_wave")).collect()[0][0]
+                    )
+                    if nxt is not None:
+                        st["wave"] = int(nxt)
+                        continue
                 st["pending"] = pending.limit(0)
                 if self.tio:
                     self._commit_state(
@@ -236,7 +255,9 @@ class CrawlEngine:
                 eligible.orderBy("seq").limit(fetch_n).agg(F.max("seq")).collect()[0][0]
             )
             fetch_set = eligible.filter(F.col("seq") <= cut_seq)
-            leftover = pending.filter(F.col("seq") > cut_seq)
+            leftover = pending.filter(
+                (F.col("seq") > cut_seq) | (F.col("ready_wave") > wave)
+            )
 
             if self.politeness:
                 fetch_set, deferred = FR.apply_politeness(
@@ -244,12 +265,19 @@ class CrawlEngine:
                 )
                 leftover = leftover.unionByName(deferred)
 
-            wave = st["wave"]
             fetch_set = fetch_set.withColumn("wave", F.lit(wave))
             fetched = X.join_fetch(
                 FR.salted_repartition(fetch_set, salt_buckets=cfg.host_salt_buckets),
                 fetch_map, self.documents,
             )
+            fetched = X.apply_size_gate(fetched, cfg.max_file_size)
+            if cfg.retry_mode == "requeue":
+                fetched, requeued = X.split_retries(
+                    fetched, cfg.retries, cfg.delay, wave, cfg.wave_seconds
+                )
+                leftover = leftover.unionByName(requeued)
+            else:
+                fetched = X.resolve_retries_inline(fetched, cfg.retries, cfg.delay)
             pages = X.extract_pages(
                 fetched, self.base_domain,
                 crawl_external=cfg.crawl_external, max_depth=cfg.max_depth,
@@ -302,7 +330,12 @@ class CrawlEngine:
                 bloom=bloom,
                 src_seq_bounds=(int(wave_lo), int(wave_hi)) if wave_lo is not None else None,
             )
-            new_frontier = new_frontier.withColumn("wave", F.lit(wave + 1)).persist()
+            new_frontier = (
+                new_frontier.withColumn("wave", F.lit(wave + 1))
+                .withColumn("retry_count", F.lit(0))
+                .withColumn("ready_wave", F.lit(0))
+                .persist()
+            )
             n_new = new_frontier.count()
 
             st["counts"] = (

@@ -20,6 +20,39 @@ from pyspark.sql import DataFrame, functions as F
 MAX_SITEMAP_DEPTH = 10  # sitemap_parser.py:80
 
 
+def recursive_locs(body: str | None, body_lookup: dict | None = None,
+                   depth: int = 1, max_depth: int = MAX_SITEMAP_DEPTH) -> list[str]:
+    """Driver-side recursive sitemap parse, transcribing
+    sitemap_parser._parse_sitemap (sitemap_parser.py:68-148) exactly:
+    depth-first, nested <sitemapindex> entries resolved through
+    ``body_lookup`` (sitemap_url -> xml) BEFORE the document's own <url>
+    entries, recursion bounded at max_depth. Used by the engine's
+    seed-time bootstrap (bounded, like the reference's single-threaded
+    discovery pass) and by the test oracle."""
+    import xml.etree.ElementTree as ET
+
+    if depth > max_depth or not body:
+        return []
+    try:
+        root = ET.fromstring(body)
+    except ET.ParseError:
+        return []
+    for elem in root.iter():  # strip namespaces (sitemap_parser.py:117-119)
+        if "}" in elem.tag:
+            elem.tag = elem.tag.split("}")[1]
+    urls: list[str] = []
+    for sm in root.findall(".//sitemap"):
+        loc = sm.find("loc")
+        if loc is not None and loc.text:
+            nested_body = (body_lookup or {}).get(loc.text.strip())
+            urls.extend(recursive_locs(nested_body, body_lookup, depth + 1, max_depth))
+    for u in root.findall(".//url"):
+        loc = u.find("loc")
+        if loc is not None and loc.text:
+            urls.append(loc.text.strip())
+    return urls
+
+
 def sitemap_urls_from_robots(hosts: DataFrame) -> DataFrame:
     """Extract ``Sitemap:`` declarations from robots.txt bodies
     (sitemap_parser.py:49-66) — pure native split/explode/filter."""

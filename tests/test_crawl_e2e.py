@@ -51,7 +51,7 @@ def test_page_extraction_fields(both):
             "word_count", "canonical_url", "robots", "viewport",
             "internal_links", "external_links", "redirect_count", "redirects",
             "json_ld_count", "error", "lang", "charset", "x_robots_tag",
-            "schema_org"]
+            "schema_org", "retry_count", "backoff_total"]
     got = {r["url"]: r.asDict() for r in engine.pages.select(*cols).collect()}
     assert set(got) == {p["url"] for p in oracle["pages"]}
     for p in oracle["pages"]:
@@ -158,3 +158,39 @@ class TestSitemapBootstrap:
         # sitemap actually contributed URLs beyond the seed at depth 0
         depth0 = [u for u, d in oracle["seen"] if d == 0]
         assert len(depth0) > 1
+
+    def test_sitemap_index_recursion_matches_oracle(self, spark):
+        """S6: a 2-deep sitemapindex bootstrap (root index -> chunk-a +
+        nested index -> chunk-b) yields the same seed order as the
+        oracle's depth-first recursion — and the same as a flat urlset
+        over the same pages (the fixture preserves order)."""
+        cfg = CrawlConfig(max_depth=2, max_urls=60, discover_sitemaps=True)
+        site_cfg = SiteGenConfig(seed=42, n_hosts=4, pages_base_host=18,
+                                 pages_other_host=5, sitemap_index=True)
+        site = generate_site(site_cfg)
+        assert len(site.sitemap_bodies) == 3  # chunk-a, chunk-b, nested index
+        seeds = [s["url"] for s in site.seeds]
+        oracle = ReferenceCrawlOracle(
+            site.documents, site.hosts, site.base_url, cfg,
+            sitemap_bodies=site.sitemap_bodies,
+        ).run(seeds)
+        docs, hosts, _ = site_to_spark(spark, site)
+        engine = CrawlEngine(
+            spark, docs, hosts, site.base_url, cfg, seed_urls=seeds,
+            sitemap_bodies=site.sitemap_bodies,
+        ).run()
+        got_seen = {(r["url"], r["seq"]) for r in engine.seen.select("url", "seq").collect()}
+        want_seen = {(u, i) for i, (u, _) in enumerate(oracle["seen"])}
+        assert got_seen == want_seen
+        got = [(r["url"], r["depth"]) for r in
+               engine.pages.orderBy("wave", "seq").select("url", "depth").collect()]
+        assert got == oracle["fetch_order"]
+        # flat and nested layouts bootstrap the same depth-0 set
+        flat = ReferenceCrawlOracle(
+            site.documents,
+            generate_site(SiteGenConfig(seed=42, n_hosts=4, pages_base_host=18,
+                                        pages_other_host=5)).hosts,
+            site.base_url, cfg,
+        ).run(seeds)
+        assert [u for u, d in oracle["seen"] if d == 0] == \
+               [u for u, d in flat["seen"] if d == 0]

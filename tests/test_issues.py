@@ -32,10 +32,14 @@ def test_per_page_issue_shapes(pages):
     assert set(iss.columns) == {"url", "type", "category", "issue", "details"}
     assert {r["type"] for r in rows} <= {"error", "warning", "info"}
     names = {r["issue"] for r in rows}
-    # pathologies the crawl reliably reaches in this fixture
-    for expected in ("Missing Title Tag", "Thin Content",
-                     "Response Codes: External Client Error (4xx)"):
+    # pathologies the crawl reliably reaches in this fixture; the lone
+    # reachable 429 page recovers after 2 retry attempts now, so no 4xx
+    # status remains (status-code checks are covered by the unit rows
+    # below and the i_issue_predicates driver oracle)
+    for expected in ("Missing Title Tag", "Thin Content"):
         assert any(expected in n for n in names), f"missing {expected} in {names}"
+    recovered = pg.filter("retry_count > 0").collect()
+    assert recovered and all(r["status_code"] == 200 for r in recovered)
 
 
 def test_per_page_issue_unit_rows(spark):
