@@ -266,6 +266,216 @@ def frontier_candidates(url: str, spans):
     return out
 
 
+_SPECIAL_COUNT_PREFIXES = ("#", "mailto:", "tel:", "javascript:")
+_PLACEMENT = {"nav": "navigation", "footer": "footer"}
+
+
+def extract_all(url: str, spans, base_domain: str, *, want_links: bool = True,
+                want_cands: bool = True):
+    """ENGINE-ONLY fused extraction: extract_page + collect_links +
+    frontier_candidates in ONE span walk with ONE urljoin/urlparse per
+    anchor (they each re-walked spans and re-parsed every href — ~2x the
+    Python time of the extraction stage). The oracle keeps the three
+    separate transcriptions; tests/test_crawl_e2e.py enforces that this
+    fused path is byte-identical to them. Returns (page, links, cands)."""
+    title = ""
+    meta: dict[str, str] = {}
+    og_tags: dict[str, str] = {}
+    twitter_tags: dict[str, str] = {}
+    canonical = ""
+    lang = ""
+    charset = ""
+    h1_list: list[str] = []
+    headings: list[dict] = []
+    h2: list[str] = []
+    h3: list[str] = []
+    body_texts: list[str] = []
+    script_texts: list[str] = []
+    images: list[dict] = []
+    hreflang: list[dict] = []
+    json_ld_count = 0
+    schema_org: list[str] = []
+    internal_links = 0
+    external_links = 0
+    anchor_texts: list[str] = []
+    links: list[dict] = []
+    cands: list[dict] = []
+    base_www = U.strip_www(base_domain)
+    scope_base = base_domain.replace("www.", "")
+    anchor_idx = 0
+
+    for s in spans:
+        k = s["kind"]
+        if k == "anchor":
+            text, region, rel = _split3(s["text"])
+            anchor_texts.append(text)
+            href = s["media_ref"]
+            idx = anchor_idx
+            anchor_idx += 1
+            parsed = None
+            if href:
+                absolute = urljoin(url, href)
+                parsed = urlparse(absolute)
+                # seo_extractor.py:225 link counting (javascript: excluded here)
+                if not href.startswith(_SPECIAL_COUNT_PREFIXES):
+                    if U.strip_www(parsed.netloc) == base_www:
+                        internal_links += 1
+                    else:
+                        external_links += 1
+                if want_links:
+                    # collect_all_links (link_manager.py:120-199)
+                    if "#" in absolute:
+                        tgt = absolute.split("#")[0]
+                        tgt_netloc = urlparse(tgt).netloc
+                    else:
+                        tgt, tgt_netloc = absolute, parsed.netloc
+                    if tgt.startswith(("http://", "https://")):
+                        url_clean = tgt_netloc.replace("www.", "")
+                        if url_clean == scope_base:
+                            scope = "root"
+                        elif url_clean.endswith("." + scope_base):
+                            scope = "sub"
+                        else:
+                            scope = "external"
+                        links.append({
+                            "source_url": url,
+                            "target_url": tgt,
+                            "anchor_text": text.strip()[:100] or "(no text)",
+                            "is_internal": scope in ("root", "sub"),
+                            "target_domain": tgt_netloc,
+                            "placement": _PLACEMENT.get(region, "body"),
+                            "nofollow": rel == "nofollow",
+                            "scope": scope,
+                        })
+            if want_cands:
+                hs = href.strip() if href else href
+                if not U.is_special_href(hs):
+                    if hs == href and parsed is not None:
+                        # reuse the parse: reference_clean rebuilds from
+                        # the same urljoin/urlparse (link_manager.py:62-68)
+                        clean = f"{parsed.scheme}://{parsed.netloc}{parsed.path}"
+                        if parsed.query:
+                            clean += f"?{parsed.query}"
+                        path = parsed.path
+                        host = parsed.netloc
+                    else:
+                        clean = U.reference_clean(hs, url)
+                        cp = urlparse(clean)
+                        path, host = cp.path, cp.netloc
+                    sig = U._DIGITS_RE.sub(r"\\d+", path)
+                    sig = U._UUID_RE.sub(r"\\uuid", sig)
+                    cands.append({
+                        "clean_url": clean,
+                        "link_idx": idx,
+                        "signature": sig,
+                        "host": host,
+                    })
+        elif k == "title":
+            if not title:
+                title = s["text"].strip()
+        elif k == "meta":
+            name, content, _ = _split3(s["text"])
+            name = name.lower()
+            if name and name not in meta:
+                meta[name] = content
+        elif k == "og":
+            prop, content, _ = _split3(s["text"])
+            if prop:
+                og_tags[prop.replace("og:", "")] = content
+        elif k == "twitter":
+            name, content, _ = _split3(s["text"])
+            if name:
+                twitter_tags[name.replace("twitter:", "")] = content
+        elif k == "lang":
+            if not lang:
+                lang = s["text"]
+        elif k == "charset":
+            if not charset:
+                charset = s["text"]
+        elif k == "script":
+            script_texts.append(s["text"])
+        elif k == "schemaorg":
+            schema_org.append(s["text"])
+        elif k == "canonical":
+            if not canonical:
+                canonical = s["text"]
+        elif k in ("h1", "h2", "h3", "h4", "h5", "h6"):
+            txt = s["text"].strip()
+            headings.append({"level": int(k[1]), "text": txt})
+            if k == "h1":
+                h1_list.append(txt)
+            elif k == "h2":
+                h2.append(txt)
+            elif k == "h3":
+                h3.append(txt)
+        elif k == "text":
+            body_texts.append(s["text"])
+        elif k == "media":
+            if len(images) < 20:
+                alt, w, h = _split3(s["text"])
+                src = s["media_ref"]
+                if src:
+                    if src.startswith("//"):
+                        src = "https:" + src
+                    elif src.startswith("/"):
+                        p = urlparse(url)
+                        src = f"{p.scheme}://{p.netloc}{src}"
+                    elif not src.startswith(("http://", "https://")):
+                        src = urljoin(url, src)
+                    images.append({"src": src, "alt": alt, "width": w, "height": h})
+        elif k == "hreflang":
+            if s["text"] and s["media_ref"]:
+                hreflang.append({"lang": s["text"], "url": s["media_ref"]})
+        elif k == "jsonld":
+            json_ld_count += 1
+
+    visible_text = " ".join(
+        [title] + [h["text"] for h in headings] + body_texts + anchor_texts
+    )
+    word_count = len(_WORD_RE.findall(visible_text))
+
+    html_content = " ".join(script_texts)
+    ga4 = re.search(r"G-[A-Z0-9]{10}", html_content)
+    gtm = re.search(r"GTM-[A-Z0-9]+", html_content)
+    analytics = {
+        "google_analytics": bool(re.search(
+            r"gtag\(|ga\(|GoogleAnalyticsObject|google-analytics\.com|googletagmanager\.com",
+            html_content, re.IGNORECASE)),
+        "gtag": bool(ga4),
+        "ga4_id": ga4.group() if ga4 else "",
+        "gtm_id": gtm.group() if gtm else "",
+        "facebook_pixel": bool(re.search(r"fbq\(|facebook\.com/tr", html_content, re.IGNORECASE)),
+        "hotjar": bool(re.search(r"hotjar\.com|hj\(", html_content, re.IGNORECASE)),
+        "mixpanel": bool(re.search(r"mixpanel\.com|mixpanel\.track", html_content, re.IGNORECASE)),
+    }
+
+    page = {
+        "lang": lang,
+        "charset": charset,
+        "og_tags": og_tags,
+        "twitter_tags": twitter_tags,
+        "analytics": analytics,
+        "schema_org": schema_org,
+        "title": title,
+        "meta_description": meta.get("description", "").strip(),
+        "h1": h1_list[0] if h1_list else "",
+        "h1_list": h1_list,
+        "headings_structure": headings,
+        "h2": h2[:10],
+        "h3": h3[:10],
+        "word_count": word_count,
+        "canonical_url": canonical,
+        "robots": meta.get("robots", ""),
+        "viewport": meta.get("viewport", ""),
+        "images": images,
+        "internal_links": internal_links,
+        "external_links": external_links,
+        "hreflang": hreflang,
+        "json_ld_count": json_ld_count,
+    }
+    return page, links, cands
+
+
 def resolve_fetch(url: str, docs: dict, attempt: int = 0) -> dict:
     """Simulated fetch with redirect following — the sandbox stand-in for
     crawler.py:944-976 (requests.get with allow_redirects): returns final

@@ -386,28 +386,23 @@ def extract_pages(fetched: DataFrame, base_domain: str, *,
             rows = []
             for r in pdf.itertuples(index=False):
                 url = r.url
-                spans = (
-                    [
-                        {"kind": s["kind"], "text": s["text"],
-                         "media_ref": s["media_ref"], "offset": s["offset"]}
-                        for s in r.spans
-                    ]
-                    if r.spans is not None and r.error is None
-                    else []
-                )
+                # Arrow hands spans as a sequence of dicts already —
+                # iterate it directly, no per-span dict rebuild
+                spans = r.spans if (r.spans is not None and r.error is None) else []
                 is_html = "text/html" in (r.content_type or "")
-                page = S.extract_page(url, spans if is_html else [], base_domain)
                 is_internal = (
                     U.is_internal(url, base_domain) if r.error is None else False
                 )
-                links = S.collect_links(url, spans, base_domain) if is_html else []
                 should_extract = (
                     (is_internal or crawl_external) and r.depth < max_depth
                 )
-                cands = (
-                    S.frontier_candidates(url, spans)
-                    if (is_html and should_extract)
-                    else []
+                # fused single-pass walk (page + links + candidates);
+                # equivalence to the oracle's three separate passes is
+                # enforced by tests/test_crawl_e2e.py
+                page, links, cands = S.extract_all(
+                    url, spans if is_html else [], base_domain,
+                    want_links=is_html,
+                    want_cands=is_html and should_extract,
                 )
                 rows.append({
                     "url": url, "depth": r.depth, "seq": r.seq, "wave": r.wave,

@@ -47,6 +47,47 @@ class TestDedup:
         hi = ngram_jaccard_pairs(docs, threshold=0.6).count()
         assert hi <= lo
 
+    def test_jaccard_hot_shingle_cap(self, spark):
+        """A shingle shared by every doc must not create the n^2 join:
+        with max_df below the corpus size the boilerplate-only pairs
+        disappear, while genuinely-similar pairs (sharing cold shingles)
+        keep their EXACT jaccard."""
+        from librecrawl_spark.operators.dedup import ngram_jaccard_pairs
+
+        boiler = "all rights reserved copyright notice "
+        rows = [(i, boiler + f"unique words number {i} here padding tokens") for i in range(20)]
+        # docs 100/101 share cold content beyond the boilerplate
+        sim = boiler + "identical middle section of real content words"
+        rows += [(100, sim + " tail a"), (101, sim + " tail b")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        capped = ngram_jaccard_pairs(df, threshold=0.2, max_df=10)
+        got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped.collect()}
+        assert (100, 101) in got
+        # no boilerplate-only pair survives (their only shared shingles are hot)
+        assert all(p == (100, 101) for p in got)
+
+        # the surviving pair's jaccard is EXACT (equals the uncapped value)
+        uncapped = ngram_jaccard_pairs(df, threshold=0.2, max_df=10**9)
+        full = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in uncapped.collect()}
+        assert got[(100, 101)] == full[(100, 101)]
+
+    def test_simhash_hamming_banding(self, spark):
+        """simhash_dup_groups finds near-identical docs (small Hamming
+        distance) without an all-pairs scan and never pairs unrelated
+        docs."""
+        from librecrawl_spark.operators.dedup import simhash_dup_groups
+
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        df = spark.createDataFrame(
+            [(1, base), (2, base + " extra"), (3, "entirely different vocabulary here " * 8)],
+            "doc_id long, text string",
+        )
+        pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+                 simhash_dup_groups(df, max_hamming=3).collect()}
+        assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
     def test_simhash_identical_docs_same_hash(self, spark):
         from librecrawl_spark.operators.dedup import simhash
 
