@@ -171,6 +171,21 @@ def _issue_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.expr(
         "array()"
     ).cast("array<struct<src:string,alt:string,width:string,height:string>>"))
+    # structured-data variants: i%6==0 -> no data; 1 -> FAQPage with
+    # faq_count=i%3; 2 -> Article (fields ok only when i%2==0);
+    # 3 -> Organization; 4 -> Product; 5 -> WebSite
+    sd = F.pmod(i, F.lit(6))
+    schema_types = (
+        F.when(sd == 1, F.array(F.lit("FAQPage")))
+        .when(sd == 2, F.array(F.lit("Article")))
+        .when(sd == 3, F.array(F.lit("Organization")))
+        .when(sd == 4, F.array(F.lit("Product")))
+        .when(sd == 5, F.array(F.lit("WebSite")))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    json_ld = F.when(sd > 0, F.array(F.lit("{}"))).otherwise(
+        F.array().cast("array<string>")
+    )
     return (
         d.withColumn("chain_urls", chain_urls)
         .select(
@@ -191,6 +206,15 @@ def _issue_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
             images.alias("images"),
             F.when(i % 14 == 9, F.lit("noindex, nofollow")).otherwise(F.lit("")).alias("robots"),
             F.when(i % 14 == 11, F.lit("noindex")).otherwise(F.lit("")).alias("x_robots_tag"),
+            json_ld.alias("json_ld"),
+            F.expr("array()").cast(
+                "array<struct<type:string,properties:map<string,string>>>"
+            ).alias("schema_org"),
+            schema_types.alias("schema_types"),
+            F.when(sd == 1, F.pmod(i, F.lit(3))).otherwise(F.lit(0)).cast("int").alias("faq_count"),
+            (sd == 3).alias("has_organization"),
+            (sd == 5).alias("has_website"),
+            ((sd == 2) & (i % 2 == 0)).alias("article_fields_ok"),
         )
     )
 
@@ -553,6 +577,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return per_page_issues(_issue_pages(spark, sf))
 
+    def u4_links_dedup(spark, sf):
+        """U4: links dedup on (source,target) keeping FIRST in document
+        order — the same row_number plan plans/crawl.py:254-268 uses."""
+        li = _t(spark, sf, "lineitem")
+        links = li.select(
+            F.concat(F.lit("s"), (F.col("l_orderkey") % 500).cast("string")).alias("source_url"),
+            F.concat(F.lit("t"), (F.col("l_partkey") % 200).cast("string")).alias("target_url"),
+            F.col("l_linenumber").alias("pos"),
+            F.col("l_orderkey").alias("okey"),
+        )
+        w = Window.partitionBy("source_url", "target_url").orderBy("okey", "pos")
+        return (
+            links.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .groupBy("source_url")
+            .agg(F.count("*").alias("n_targets"),
+                 F.sum("pos").alias("sum_keeper_pos"))
+        )
+
+    def c2_normalize_compare(spark, sf):
+        """C2: normalize_for_compare equivalence classes — URL variants
+        (trailing slash / fragment / case) built from orders collapse to
+        one key via issues._norm_cmp."""
+        from librecrawl_spark.operators.issues import _norm_cmp
+
+        o = _t(spark, sf, "orders")
+        base = F.concat(F.lit("https://N.Example/p"), (F.col("o_orderkey") % 300).cast("string"))
+        suffix = (
+            F.when(F.col("o_orderkey") % 4 == 1, F.lit("/"))
+            .when(F.col("o_orderkey") % 4 == 2, F.lit("#frag"))
+            .when(F.col("o_orderkey") % 4 == 3, F.lit("/#a"))
+            .otherwise(F.lit(""))
+        )
+        return (
+            o.select(_norm_cmp(F.concat(base, suffix)).alias("norm_url"))
+            .groupBy("norm_url")
+            .agg(F.count("*").alias("n_variants"))
+        )
+
+    def c12_hreflang_codes(spark, sf):
+        from librecrawl_spark.operators.issues import hreflang_invalid_codes
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+        code = (
+            F.when(i % 8 == 0, F.lit("en"))
+            .when(i % 8 == 1, F.lit("de-DE"))
+            .when(i % 8 == 2, F.lit("x-default"))
+            .when(i % 8 == 3, F.lit("zz"))          # pattern ok, unknown subtag
+            .when(i % 8 == 4, F.lit("english"))     # pattern fail
+            .when(i % 8 == 5, F.lit("EN"))
+            .when(i % 8 == 6, F.lit("pt-BR"))
+            .otherwise(F.lit("12"))                  # pattern fail
+        )
+        url = F.concat(F.lit("https://l.example/"), i.cast("string"))
+        pages = d.select(
+            url.alias("url"),
+            F.array(F.struct(code.alias("lang"),
+                             F.concat(url, F.lit("-alt")).alias("url"))).alias("hreflang"),
+        )
+        return hreflang_invalid_codes(pages).select(
+            "url", "type", "category", "issue", "details", "lang", "target"
+        )
+
+    def a7_sitemap_health(spark, sf):
+        from librecrawl_spark.operators.issues import sitemap_health
+
+        part = _t(spark, sf, "part")
+        k = F.col("p_partkey")
+        sm = part.filter(k % 4 == 0).select(
+            F.concat(F.lit("https://s.example/p"), k.cast("string"),
+                     F.when(k % 8 == 0, F.lit("/")).otherwise(F.lit(""))).alias("url")
+        )
+        url = F.concat(F.lit("https://s.example/p"), k.cast("string"))
+        status = (
+            F.when(k % 7 == 1, F.lit(404))
+            .when(k % 7 == 2, F.lit(301))
+            .otherwise(F.lit(200))
+        )
+        pages = part.filter(k % 3 == 0).select(
+            url.alias("url"),
+            status.alias("status_code"),
+            F.when(k % 11 == 3, F.lit("noindex")).otherwise(F.lit("")).alias("robots"),
+            F.when(k % 13 == 2, F.lit("https://s.example/"))
+            .otherwise(F.lit("")).alias("canonical_url"),
+        )
+        return sitemap_health(sm, pages)
+
     def c14_backoff_math(spark, sf):
         """C14 (crawler.py:955-966): total exponential-backoff sleep,
         min(Retry-After or base*2^attempt, 30) summed over attempts —
@@ -599,6 +711,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_hreflang_reciprocity": j6_hreflang_reciprocity,
         "j7_dup_candidates": j7_dup_candidates,
         "i_issue_predicates": i_issue_predicates,
+        "u4_links_dedup": u4_links_dedup,
+        "c2_normalize_compare": c2_normalize_compare,
+        "c12_hreflang_codes": c12_hreflang_codes,
+        "a7_sitemap_health": a7_sitemap_health,
         "q1_pricing_summary": q1_pricing_summary,
         "j1_status_lookup_join": j1_status_lookup_join,
         "j2_reverse_links": j2_reverse_links,
@@ -677,7 +793,10 @@ def _issue_predicates_sql() -> str:
         CASE WHEN CAST(doc_id % 5 AS INT) = 2 THEN 1 ELSE 0 END AS img_missing,
         CAST(doc_id % 14 AS INT) IN (9, 11) AS noindex,
         CAST(doc_id % 14 AS INT) = 9 AS nofollow,
-        CAST(doc_id % 19 AS INT) <> 4 AS parsed
+        CAST(doc_id % 19 AS INT) <> 4 AS parsed,
+        CAST(doc_id % 6 AS INT) AS sd,
+        CASE WHEN CAST(doc_id % 6 AS INT) = 1 THEN CAST(doc_id % 3 AS INT) ELSE 0 END AS faq_count,
+        (CAST(doc_id % 6 AS INT) = 2 AND doc_id % 2 = 0) AS article_ok
       FROM documents
     """
     sel = "SELECT url, {t} AS type, {c} AS category, {i} AS issue, {d} AS details FROM pg WHERE {w}"
@@ -758,8 +877,53 @@ def _issue_predicates_sql() -> str:
                    w="noindex"),
         sel.format(t="'warning'", c="'Indexability'", i="'Directives: Nofollow'",
                    d="'Source: HTML Meta Tag'", w="nofollow"),
+        # structured data (sd: 0 none, 1 FAQPage, 2 Article, 3 Org, 4 Product, 5 WebSite)
+        sel.format(t="'warning'", c="'Structured Data'", i="'No Structured Data'",
+                   d="'Page has no JSON-LD or Schema.org markup'", w="sd = 0"),
+        sel.format(t="'info'", c="'Structured Data'", i="'Schema: Missing Organization/WebSite'",
+                   d="'Consider adding Organization or WebSite schema for brand visibility'",
+                   w="sd = 1 AND ptype = 'important'"),
+        sel.format(t="'warning'", c="'Structured Data'", i="'Schema: FAQPage has no questions'",
+                   d="'FAQPage schema found but no Question items detected'",
+                   w="sd = 1 AND faq_count = 0"),
+        sel.format(t="'info'", c="'Structured Data'", i="'Schema: FAQPage has few questions'",
+                   d="'Only ' || CAST(faq_count AS VARCHAR) || ' FAQ items found (3+ recommended)'",
+                   w="sd = 1 AND faq_count > 0 AND faq_count < 3"),
+        sel.format(t="'warning'", c="'Structured Data'", i="'Schema: Article missing required fields'",
+                   d="'Article schema should have headline and datePublished'",
+                   w="sd = 2 AND NOT article_ok"),
     ]
     return f"WITH pg AS ({pg})\n" + "\nUNION ALL\n".join(checks)
+
+
+def _c12_sql() -> str:
+    """DuckDB twin of c12_hreflang_codes, sharing the ISO-639 subtag list
+    with the Spark operator."""
+    from librecrawl_spark.operators.issues import _HREFLANG_RE, _VALID_LANG_CODES
+
+    iso = ", ".join(f"'{c}'" for c in _VALID_LANG_CODES)
+    return f"""
+        WITH p AS (
+          SELECT doc_id AS i,
+                 CASE CAST(doc_id % 8 AS INT)
+                   WHEN 0 THEN 'en' WHEN 1 THEN 'de-DE' WHEN 2 THEN 'x-default'
+                   WHEN 3 THEN 'zz' WHEN 4 THEN 'english' WHEN 5 THEN 'EN'
+                   WHEN 6 THEN 'pt-BR' ELSE '12' END AS lang
+          FROM documents
+        ),
+        e AS (
+          SELECT 'https://l.example/' || CAST(i AS VARCHAR) AS url, lang,
+                 'https://l.example/' || CAST(i AS VARCHAR) || '-alt' AS target
+          FROM p
+        )
+        SELECT url, 'warning' AS type, 'International' AS category,
+               'Hreflang: Invalid Language Code' AS issue,
+               'Invalid hreflang code: ' || lang AS details, lang, target
+        FROM e
+        WHERE NOT regexp_matches(lang, '{_HREFLANG_RE}')
+           OR (NOT lower(split_part(lang, '-', 1)) IN ({iso})
+               AND lower(lang) <> 'x-default')
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -844,6 +1008,82 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "i_issue_predicates": _issue_predicates_sql(),
+        "u4_links_dedup": """
+            WITH links AS (
+              SELECT 's' || CAST(l_orderkey % 500 AS VARCHAR) AS source_url,
+                     't' || CAST(l_partkey % 200 AS VARCHAR) AS target_url,
+                     l_linenumber AS pos, l_orderkey AS okey
+              FROM lineitem
+            ),
+            k AS (
+              SELECT source_url, pos,
+                     row_number() OVER (PARTITION BY source_url, target_url
+                                        ORDER BY okey, pos) AS rn
+              FROM links
+            )
+            SELECT source_url, count(*) AS n_targets,
+                   CAST(sum(pos) AS BIGINT) AS sum_keeper_pos
+            FROM k WHERE rn = 1 GROUP BY source_url
+        """,
+        "c2_normalize_compare": """
+            WITH u AS (
+              SELECT 'https://N.Example/p' || CAST(o_orderkey % 300 AS VARCHAR) ||
+                     CASE CAST(o_orderkey % 4 AS INT)
+                       WHEN 1 THEN '/' WHEN 2 THEN '#frag' WHEN 3 THEN '/#a'
+                       ELSE '' END AS url
+              FROM orders
+            ),
+            n AS (
+              SELECT regexp_replace(lower(trim(url)), '#.*$', '') AS lu FROM u
+            )
+            SELECT CASE WHEN regexp_matches(lu, '^https?://[^/]+/$') THEN lu
+                        ELSE regexp_replace(lu, '/$', '') END AS norm_url,
+                   count(*) AS n_variants
+            FROM n GROUP BY 1
+        """,
+        "c12_hreflang_codes": _c12_sql(),
+        "a7_sitemap_health": """
+            WITH sm0 AS (
+              SELECT 'https://s.example/p' || CAST(p_partkey AS VARCHAR) ||
+                     CASE WHEN p_partkey % 8 = 0 THEN '/' ELSE '' END AS sitemap_url
+              FROM part WHERE p_partkey % 4 = 0
+            ),
+            sm AS (
+              SELECT DISTINCT sitemap_url,
+                     CASE WHEN regexp_matches(lower(trim(sitemap_url)), '^https?://[^/]+/$')
+                          THEN lower(trim(sitemap_url))
+                          ELSE regexp_replace(regexp_replace(lower(trim(sitemap_url)), '#.*$', ''), '/$', '')
+                     END AS _k
+              FROM sm0
+            ),
+            pg AS (
+              SELECT lower('https://s.example/p' || CAST(p_partkey AS VARCHAR)) AS _k,
+                     'https://s.example/p' || CAST(p_partkey AS VARCHAR) AS crawled_url,
+                     CASE CAST(p_partkey % 7 AS INT) WHEN 1 THEN 404 WHEN 2 THEN 301 ELSE 200 END AS status,
+                     CASE WHEN p_partkey % 11 = 3 THEN 'noindex' ELSE '' END AS robots,
+                     CASE WHEN p_partkey % 13 = 2 THEN 'https://s.example/' ELSE '' END AS canonical
+              FROM part WHERE p_partkey % 3 = 0
+            ),
+            j AS (SELECT sm._k, pg.crawled_url, pg.status, pg.robots, pg.canonical
+                  FROM sm LEFT JOIN pg ON sm._k = pg._k),
+            c AS (
+              SELECT CASE WHEN crawled_url IS NULL THEN 'not_crawled'
+                          WHEN status >= 400 THEN 'error'
+                          WHEN status >= 300 AND status < 400 THEN 'redirect'
+                          WHEN contains(robots, 'noindex') THEN 'noindex'
+                          WHEN len(canonical) > 0 AND lower(trim(canonical)) <> _k THEN 'non_canonical'
+                          ELSE 'valid' END AS cls
+              FROM j
+            )
+            SELECT count(*) AS total,
+                   CAST(sum(CASE WHEN cls = 'valid' THEN 1 ELSE 0 END) AS BIGINT) AS valid,
+                   CAST(sum(CASE WHEN cls = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                   CAST(sum(CASE WHEN cls = 'redirect' THEN 1 ELSE 0 END) AS BIGINT) AS redirect,
+                   CAST(sum(CASE WHEN cls = 'noindex' THEN 1 ELSE 0 END) AS BIGINT) AS noindex,
+                   CAST(sum(CASE WHEN cls = 'non_canonical' THEN 1 ELSE 0 END) AS BIGINT) AS non_canonical,
+                   CAST(sum(CASE WHEN cls = 'not_crawled' THEN 1 ELSE 0 END) AS BIGINT) AS not_crawled
+            FROM c
+        """,
         "j4_links_to_redirects": """
             WITH links AS (
               SELECT 'https://g.example/o' || CAST(l_orderkey AS VARCHAR) AS source_url,

@@ -23,7 +23,10 @@ the extraction UDF (operators/extract.py) and the oracle
 - anchor    media_ref=href, text="<anchor>\\x1f<region>\\x1f<rel>"  region in nav|footer|body
 - media     media_ref=img src, text="<alt>\\x1f<w>\\x1f<h>"
 - hreflang  text=lang code, media_ref=target URL
-- jsonld    text=raw JSON-LD string
+- jsonld    text=raw JSON-LD string (invalid JSON = skipped, like the
+            reference's json.loads try/except)
+- schemaorg text=itemtype URL, optionally SEP + JSON dict of itemprop
+            properties (seo_extractor.py:264-301 microdata shape)
 
 Mirrors what the reference extracts from HTML
 (/root/reference/src/core/seo_extractor.py:10-301) without requiring a
@@ -205,10 +208,14 @@ def generate_site(cfg: SiteGenConfig | None = None) -> Site:
             if pi % 9 == 4:
                 spans.append({"kind": "script", "text": "fbq('init', '123'); hj('x');",
                               "media_ref": "", "offset": 0})
-            # schema.org microdata types
+            # schema.org microdata types (+ itemprop properties on some)
             if pi % 7 == 3:
-                spans.append({"kind": "schemaorg",
-                              "text": "https://schema.org/Article",
+                so = "https://schema.org/Article"
+                if pi % 14 == 3:
+                    so += SEP + json.dumps(
+                        {"author": f"a{pi % 5}", "name": f"p{pi}"}, sort_keys=True
+                    )
+                spans.append({"kind": "schemaorg", "text": so,
                               "media_ref": "", "offset": 0})
 
             # canonical: self / cross / missing
@@ -246,10 +253,27 @@ def generate_site(cfg: SiteGenConfig | None = None) -> Site:
                 spans.append({"kind": "media", "text": f"{alt}{SEP}{w}{SEP}{h}",
                               "media_ref": f"/static/img_{pi}_{j}.png", "offset": 0})
 
-            # json-ld on some pages
-            if pi % 6 == 2:
-                spans.append({"kind": "jsonld",
-                              "text": json.dumps({"@type": "Article", "name": f"p{pi}"}),
+            # json-ld on some pages: FAQ / complete Article / Organization /
+            # plain Article (missing required fields) / invalid JSON
+            if pi % 12 == 2:
+                payload = json.dumps({
+                    "@type": "FAQPage",
+                    "mainEntity": [{"@type": "Question", "name": f"Q{pi}",
+                                    "acceptedAnswer": {"@type": "Answer", "text": "A"}}],
+                })
+            elif pi % 12 == 8:
+                payload = json.dumps({"@type": "Article", "name": f"p{pi}",
+                                      "headline": f"H{pi}", "datePublished": "2024-01-01"})
+            elif pi % 12 == 6:
+                payload = json.dumps({"@type": "Organization", "name": f"org{pi}"})
+            elif pi % 6 == 5:
+                payload = "{not valid json"  # must be skipped silently
+            elif pi % 6 == 4:
+                payload = json.dumps({"@type": "Article", "name": f"p{pi}"})
+            else:
+                payload = None
+            if payload is not None:
+                spans.append({"kind": "jsonld", "text": payload,
                               "media_ref": "", "offset": 0})
 
             # links ---------------------------------------------------------

@@ -19,6 +19,7 @@ per function) re-expressed over spans instead of a DOM:
 
 from __future__ import annotations
 
+import json
 import re
 from urllib.parse import urljoin, urlparse
 
@@ -72,6 +73,111 @@ def anchors_of(spans):
     return out
 
 
+# AI-ready schema types (issue_detector.py:682-701)
+AI_READY_TYPES = {
+    "FAQPage": ("FAQ", "FAQ Accordion"),
+    "HowTo": ("How-To", "Step-by-step Guide"),
+    "Recipe": ("Recipe", "Recipe Card"),
+    "Product": ("Product", "Product Snippet"),
+    "Review": ("Review", "Review Stars"),
+    "AggregateRating": ("Rating", "Star Rating"),
+    "LocalBusiness": ("Local Business", "Knowledge Panel"),
+    "Organization": ("Organization", "Knowledge Panel"),
+    "Person": ("Person", "Knowledge Panel"),
+    "Article": ("Article", "Article Preview"),
+    "NewsArticle": ("News Article", "News Carousel"),
+    "BlogPosting": ("Blog Post", "Article Preview"),
+    "Event": ("Event", "Event Listing"),
+    "JobPosting": ("Job Posting", "Job Listing"),
+    "Course": ("Course", "Course Card"),
+    "SoftwareApplication": ("Software App", "App Info"),
+    "VideoObject": ("Video", "Video Preview"),
+    "BreadcrumbList": ("Breadcrumbs", "Breadcrumb Trail"),
+}
+
+
+def structured_data_fields(json_ld_objs: list, schema_org_items: list) -> dict:
+    """Schema analysis over parsed JSON-LD + microdata — transcription of
+    issue_detector._check_structured_data_issues' extract_type recursion
+    (issue_detector.py:727-790): recursive @type collection (depth<=10),
+    FAQ Question counting, Organization/WebSite flags, Article
+    required-field check (json-ld only, top-level @type). detected types
+    are SORTED for determinism (the reference materializes a set)."""
+    detected: set = set()
+    faq_count = 0
+    has_org = False
+    has_web = False
+
+    def walk(obj, depth=0):
+        nonlocal faq_count, has_org, has_web
+        if depth > 10:
+            return
+        if isinstance(obj, dict):
+            t = obj.get("@type")
+            if t:
+                ts = t if isinstance(t, list) else [t]
+                for x in ts:
+                    detected.add(x)
+                if "FAQPage" in ts:
+                    main = obj.get("mainEntity", [])
+                    if isinstance(main, list):
+                        for item in main:
+                            if isinstance(item, dict) and item.get("@type") == "Question" \
+                                    and item.get("name", ""):
+                                faq_count += 1
+                if any(x in ("Organization", "LocalBusiness", "Corporation") for x in ts):
+                    has_org = True
+                if "WebSite" in ts:
+                    has_web = True
+            for v in obj.values():
+                if isinstance(v, (dict, list)):
+                    walk(v, depth + 1)
+        elif isinstance(obj, list):
+            for item in obj:
+                walk(item, depth + 1)
+
+    for obj in json_ld_objs:
+        walk(obj)
+    for item in schema_org_items:
+        t = item.get("type", "")
+        if t:
+            detected.add(t.split("/")[-1] if "/" in t else t)
+
+    types = sorted(detected)
+    article_ok = False
+    for obj in json_ld_objs:
+        if isinstance(obj, dict) and obj.get("@type") in ("Article", "BlogPosting", "NewsArticle"):
+            if obj.get("headline") and obj.get("datePublished"):
+                article_ok = True
+                break
+    return {
+        "schema_types": types,
+        "ai_ready": [
+            {"name": AI_READY_TYPES[t][0], "rich_result": AI_READY_TYPES[t][1]}
+            for t in types if t in AI_READY_TYPES
+        ],
+        "faq_count": faq_count,
+        "has_organization": has_org,
+        "has_website": has_web,
+        "article_fields_ok": article_ok,
+    }
+
+
+def _parse_schemaorg_span(text: str) -> dict:
+    """schemaorg span: itemtype [SEP json-properties] ->
+    {type, properties} (seo_extractor.py:264-301 microdata shape)."""
+    parts = text.split(SEP, 1)
+    props: dict = {}
+    if len(parts) > 1:
+        try:
+            loaded = json.loads(parts[1])
+            if isinstance(loaded, dict):
+                props = {str(k): str(v) for k, v in loaded.items()}
+        except (json.JSONDecodeError, TypeError):
+            props = {}
+    return {"type": parts[0], "properties": props}
+
+
 def extract_page(url: str, spans, base_domain: str) -> dict:
     """Per-page SEO record — field-for-field vs seo_extractor.py:10-301
     (basic data, meta, canonical, images, link counts, hreflang) over the
@@ -92,8 +198,8 @@ def extract_page(url: str, spans, base_domain: str) -> dict:
     script_texts: list[str] = []
     images: list[dict] = []
     hreflang: list[dict] = []
-    json_ld: list[str] = []
-    schema_org: list[str] = []
+    json_ld_objs: list = []
+    schema_org: list[dict] = []
 
     for s in spans:
         k = s["kind"]
@@ -121,7 +227,7 @@ def extract_page(url: str, spans, base_domain: str) -> dict:
         elif k == "script":
             script_texts.append(s["text"])
         elif k == "schemaorg":
-            schema_org.append(s["text"])
+            schema_org.append(_parse_schemaorg_span(s["text"]))
         elif k == "canonical" and not canonical:
             canonical = s["text"]
         elif k in ("h1", "h2", "h3", "h4", "h5", "h6"):
@@ -152,7 +258,11 @@ def extract_page(url: str, spans, base_domain: str) -> dict:
             if s["text"] and s["media_ref"]:
                 hreflang.append({"lang": s["text"], "url": s["media_ref"]})
         elif k == "jsonld":
-            json_ld.append(s["text"])
+            try:
+                json_ld_objs.append(json.loads(s["text"]))
+            except (json.JSONDecodeError, TypeError):
+                # invalid JSON-LD is skipped silently (seo_extractor.py:144-149)
+                pass
 
     internal_links = 0
     external_links = 0
@@ -211,7 +321,10 @@ def extract_page(url: str, spans, base_domain: str) -> dict:
         "internal_links": internal_links,
         "external_links": external_links,
         "hreflang": hreflang,
-        "json_ld_count": len(json_ld),
+        "json_ld": [json.dumps(o, sort_keys=True, separators=(",", ":"))
+                    for o in json_ld_objs],
+        "json_ld_count": len(json_ld_objs),
+        **structured_data_fields(json_ld_objs, schema_org),
     }
 
 
@@ -293,8 +406,8 @@ def extract_all(url: str, spans, base_domain: str, *, want_links: bool = True,
     script_texts: list[str] = []
     images: list[dict] = []
     hreflang: list[dict] = []
-    json_ld_count = 0
-    schema_org: list[str] = []
+    json_ld_objs: list = []
+    schema_org: list[dict] = []
     internal_links = 0
     external_links = 0
     anchor_texts: list[str] = []
@@ -395,7 +508,7 @@ def extract_all(url: str, spans, base_domain: str, *, want_links: bool = True,
         elif k == "script":
             script_texts.append(s["text"])
         elif k == "schemaorg":
-            schema_org.append(s["text"])
+            schema_org.append(_parse_schemaorg_span(s["text"]))
         elif k == "canonical":
             if not canonical:
                 canonical = s["text"]
@@ -427,7 +540,10 @@ def extract_all(url: str, spans, base_domain: str, *, want_links: bool = True,
             if s["text"] and s["media_ref"]:
                 hreflang.append({"lang": s["text"], "url": s["media_ref"]})
         elif k == "jsonld":
-            json_ld_count += 1
+            try:
+                json_ld_objs.append(json.loads(s["text"]))
+            except (json.JSONDecodeError, TypeError):
+                pass
 
     visible_text = " ".join(
         [title] + [h["text"] for h in headings] + body_texts + anchor_texts
@@ -471,7 +587,10 @@ def extract_all(url: str, spans, base_domain: str, *, want_links: bool = True,
         "internal_links": internal_links,
         "external_links": external_links,
         "hreflang": hreflang,
-        "json_ld_count": json_ld_count,
+        "json_ld": [json.dumps(o, sort_keys=True, separators=(",", ":"))
+                    for o in json_ld_objs],
+        "json_ld_count": len(json_ld_objs),
+        **structured_data_fields(json_ld_objs, schema_org),
     }
     return page, links, cands
 

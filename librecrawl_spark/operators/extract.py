@@ -47,11 +47,17 @@ PAGE_SCHEMA = (
     "images array<struct<src:string, alt:string, width:string, height:string>>, "
     "internal_links int, external_links int, "
     "hreflang array<struct<lang:string, url:string>>, json_ld_count int, "
+    "json_ld array<string>, "
+    "schema_types array<string>, "
+    "ai_ready array<struct<name:string, rich_result:string>>, "
+    "faq_count int, has_organization boolean, has_website boolean, "
+    "article_fields_ok boolean, "
     "lang string, charset string, og_tags map<string,string>, "
     "twitter_tags map<string,string>, "
     "analytics struct<google_analytics:boolean, gtag:boolean, ga4_id:string, "
     "gtm_id:string, facebook_pixel:boolean, hotjar:boolean, mixpanel:boolean>, "
-    "schema_org array<string>, x_robots_tag string, "
+    "schema_org array<struct<type:string, properties:map<string,string>>>, "
+    "x_robots_tag string, "
     f"links array<struct<{LINK_STRUCT}>>, candidates array<struct<{CAND_STRUCT}>>"
 )
 
@@ -419,7 +425,10 @@ def extract_pages(fetched: DataFrame, base_domain: str, *,
                         "headings_structure", "h2", "h3", "word_count",
                         "canonical_url", "robots", "viewport", "images",
                         "internal_links", "external_links", "hreflang",
-                        "json_ld_count", "lang", "charset", "og_tags",
+                        "json_ld_count", "json_ld", "schema_types",
+                        "ai_ready", "faq_count", "has_organization",
+                        "has_website", "article_fields_ok",
+                        "lang", "charset", "og_tags",
                         "twitter_tags", "analytics", "schema_org",
                     )},
                     "links": links,

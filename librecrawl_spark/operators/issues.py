@@ -248,6 +248,38 @@ def per_page_issues(pages: DataFrame) -> DataFrame:
         _mk(nofollow, "warning", "Indexability", "Directives: Nofollow",
             "Source: HTML Meta Tag"),
     ]
+    # structured data (issue_detector.py:675-852) — the schema analysis
+    # (recursive @type walk, FAQ count, org/website flags) runs once in
+    # the extraction pass; here the checks stay pure column expressions.
+    if "schema_types" in pages.columns:
+        no_data = (F.size("json_ld") == 0) & (F.size("schema_org") == 0)
+        types_has = lambda t: F.array_contains("schema_types", t)
+        checks += [
+            # reference early-returns after this check, so every other
+            # structured check is conditioned on NOT no_data
+            _mk(no_data, "warning", "Structured Data", "No Structured Data",
+                "Page has no JSON-LD or Schema.org markup"),
+            _mk(
+                ~no_data & (ptype == "important")
+                & ~F.col("has_organization") & ~F.col("has_website")
+                & ~types_has("Article") & ~types_has("BlogPosting") & ~types_has("Product"),
+                "info", "Structured Data", "Schema: Missing Organization/WebSite",
+                "Consider adding Organization or WebSite schema for brand visibility"),
+            _mk(~no_data & types_has("FAQPage") & (F.col("faq_count") == 0),
+                "warning", "Structured Data", "Schema: FAQPage has no questions",
+                "FAQPage schema found but no Question items detected"),
+            _mk(~no_data & types_has("FAQPage")
+                & (F.col("faq_count") > 0) & (F.col("faq_count") < 3),
+                "info", "Structured Data", "Schema: FAQPage has few questions",
+                F.concat(F.lit("Only "), F.col("faq_count").cast("string"),
+                         F.lit(" FAQ items found (3+ recommended)"))),
+            _mk(
+                ~no_data
+                & (types_has("Article") | types_has("BlogPosting") | types_has("NewsArticle"))
+                & ~F.col("article_fields_ok"),
+                "warning", "Structured Data", "Schema: Article missing required fields",
+                "Article schema should have headline and datePublished"),
+        ]
     arr = F.array_compact(F.array(*[c.otherwise(F.lit(None).cast(_ISSUE_T)) for c in checks]))
     return (
         pages.select(url.alias("url"), F.explode(arr).alias("i"))

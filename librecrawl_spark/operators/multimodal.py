@@ -14,6 +14,8 @@ change inside the UDF.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -28,6 +30,66 @@ IMAGE_FEATURES_SCHEMA = (
 )
 
 FRAME_SAMPLE_SCHEMA = "media_id string, frame_idx int, ts_ms int, frame_phash string"
+
+
+def parse_image_header(payload) -> tuple[str, int, int] | None:
+    """REAL image metadata from container headers — pure-stdlib struct
+    reads, no codec needed: PNG IHDR, GIF logical-screen descriptor,
+    JPEG SOF segment walk. Returns (mime, width, height) or None when
+    the payload isn't a recognizable image container."""
+    if not payload:
+        return None
+    b = bytes(payload)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+        w, h = struct.unpack(">II", b[16:24])
+        return ("image/png", w, h)
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return ("image/gif", w, h)
+    if b[:2] == b"\xff\xd8":
+        i, n = 2, len(b)
+        while i + 9 <= n:
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if i + 4 > n:
+                return None
+            seg_len = struct.unpack(">H", b[i + 2:i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > n:
+                    return None
+                h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                return ("image/jpeg", w, h)
+            i += 2 + seg_len
+    return None
+
+
+def make_test_png(width: int, height: int, rgb=(200, 30, 30)) -> bytes:
+    """A complete, valid solid-color PNG (signature + IHDR + IDAT + IEND
+    with correct CRCs) — stdlib-only fixture bytes for tests."""
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(rgb) * width for _ in range(height))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def make_test_jpeg_header(width: int, height: int) -> bytes:
+    """Minimal JPEG byte prefix (SOI + APP0/JFIF + SOF0 + EOI): enough
+    container structure for header parsing; not a decodable image."""
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = struct.pack(">BHHB", 8, height, width, 3) + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    return (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+            + b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
+            + b"\xff\xd9")
 
 
 def _fake_decode(payload: bytes) -> dict:
@@ -46,7 +108,12 @@ def image_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """Decode + feature-extract images: Arrow-batched mapInPandas, one
     Python invocation per ~10k rows. Partitioning: payload-bearing rows
     are repartitioned by media_id hash upstream so batch byte-sizes stay
-    bounded (binary columns dominate memory)."""
+    bounded (binary columns dominate memory).
+
+    width/height/mime come from REAL container-header parsing
+    (parse_image_header — PNG/GIF/JPEG, stdlib struct reads). Only the
+    pixel-level features (phash, mean_luma) need a codec: they fall back
+    to the deterministic fake when ``fake=True`` and raise otherwise."""
 
     def run(batches):
         import pandas as pd
@@ -54,15 +121,19 @@ def image_features(media: DataFrame, fake: bool = True) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload) if r.payload is not None else b""
                 if not fake:
                     raise NotImplementedError(
-                        "real image decode requires PIL/libvips — not in this container"
+                        "pixel-level decode requires PIL/libvips — not in this container"
                     )
-                d = _fake_decode(bytes(r.payload) if r.payload is not None else b"")
+                d = _fake_decode(payload)
+                hdr = parse_image_header(payload)
+                if hdr is not None:
+                    _, d["width"], d["height"] = hdr
                 rows.append({
                     "media_id": r.media_id,
                     "width": d["width"], "height": d["height"],
-                    "n_bytes": len(r.payload or b""),
+                    "n_bytes": len(payload),
                     "phash": d["phash"], "mean_luma": d["mean_luma"],
                 })
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
@@ -106,14 +177,20 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> 
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic media fixture (images + videos) for tests."""
+    """Deterministic media fixture for tests: images carry REAL bytes
+    (valid PNGs / JPEG headers with varying dimensions, so the header
+    parser is exercised end-to-end); videos stay opaque hash bytes."""
     rows = []
     for i in range(n):
         kind = "image" if i % 3 else "video"
-        payload = hashlib.sha256(f"media{i}".encode()).digest() * 4
-        rows.append((
-            f"m{i}", kind, bytearray(payload),
-            ("image/png" if kind == "image" else "video/mp4",
-             64, 48, 0 if kind == "image" else 3000 + i * 100),
-        ))
+        if kind == "image":
+            w, h = 2 + i % 5, 3 + i % 4
+            payload = (make_test_png(w, h) if i % 2
+                       else make_test_jpeg_header(w, h))
+            mime = "image/png" if i % 2 else "image/jpeg"
+            meta = (mime, w, h, 0)
+        else:
+            payload = hashlib.sha256(f"media{i}".encode()).digest() * 4
+            meta = ("video/mp4", 64, 48, 3000 + i * 100)
+        rows.append((f"m{i}", kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

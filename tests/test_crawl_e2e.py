@@ -50,8 +50,9 @@ def test_page_extraction_fields(both):
             "title", "meta_description", "h1", "h1_list", "h2", "h3",
             "word_count", "canonical_url", "robots", "viewport",
             "internal_links", "external_links", "redirect_count", "redirects",
-            "json_ld_count", "error", "lang", "charset", "x_robots_tag",
-            "schema_org", "retry_count", "backoff_total"]
+            "json_ld_count", "json_ld", "error", "lang", "charset", "x_robots_tag",
+            "schema_types", "faq_count", "has_organization", "has_website",
+            "article_fields_ok", "retry_count", "backoff_total"]
     got = {r["url"]: r.asDict() for r in engine.pages.select(*cols).collect()}
     assert set(got) == {p["url"] for p in oracle["pages"]}
     for p in oracle["pages"]:
@@ -64,7 +65,7 @@ def test_nested_fields(both):
     oracle, engine = both
     got = {r["url"]: r for r in engine.pages.select(
         "url", "headings_structure", "images", "hreflang", "redirect_chain",
-        "og_tags", "twitter_tags", "analytics").collect()}
+        "og_tags", "twitter_tags", "analytics", "schema_org", "ai_ready").collect()}
     for p in oracle["pages"]:
         g = got[p["url"]]
         assert [dict(h.asDict()) for h in g["headings_structure"]] == p["headings_structure"]
@@ -73,6 +74,9 @@ def test_nested_fields(both):
         assert dict(g["og_tags"] or {}) == p["og_tags"]
         assert dict(g["twitter_tags"] or {}) == p["twitter_tags"]
         assert g["analytics"].asDict() == p["analytics"]
+        assert [{"type": x["type"], "properties": dict(x["properties"] or {})}
+                for x in g["schema_org"]] == p["schema_org"]
+        assert [dict(a.asDict()) for a in g["ai_ready"]] == p["ai_ready"]
         chain = [
             {k: v for k, v in c.asDict().items() if not (k == "final" and not v)}
             for c in g["redirect_chain"]

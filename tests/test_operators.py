@@ -162,6 +162,29 @@ class TestMultimodal:
         with pytest.raises(Exception):
             image_features(m, fake=False).collect()
 
+    def test_header_parse_pure(self):
+        from librecrawl_spark.operators.multimodal import (
+            make_test_jpeg_header, make_test_png, parse_image_header)
+
+        assert parse_image_header(make_test_png(7, 11)) == ("image/png", 7, 11)
+        assert parse_image_header(make_test_jpeg_header(640, 480)) == ("image/jpeg", 640, 480)
+        gif = b"GIF89a" + (13).to_bytes(2, "little") + (9).to_bytes(2, "little") + b"\x00" * 4
+        assert parse_image_header(gif) == ("image/gif", 13, 9)
+        assert parse_image_header(b"not an image") is None
+        assert parse_image_header(b"") is None
+
+    def test_image_features_real_dimensions(self, spark):
+        """Real container bytes in the fixture -> real width/height from
+        the header parser (not the fake decoder's hash dims)."""
+        from librecrawl_spark.operators.multimodal import image_features, synthetic_media
+
+        m = synthetic_media(spark, 12)
+        meta = {r["media_id"]: (r["meta"]["width"], r["meta"]["height"])
+                for r in m.filter("kind = 'image'").collect()}
+        out = {r["media_id"]: (r["width"], r["height"])
+               for r in image_features(m).collect()}
+        assert out == meta
+
 
 class TestSitemap:
     def test_parse_urlset(self, spark):
