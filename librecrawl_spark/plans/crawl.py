@@ -201,6 +201,13 @@ class CrawlEngine:
         fetch_map = X.resolve_redirects(X.http_meta(self.documents)).persist()
         fetch_map.count()
 
+        # robots rules compile once per crawl (hosts table is static);
+        # every wave's native policy fast path reuses the broadcast
+        host_rules = None
+        if FR._can_use_native_policy(cfg):
+            host_rules = FR.compile_robots_rules(self.hosts, cfg.user_agent).persist()
+            host_rules.count()
+
         ck = self.tio.load_checkpoint() if self.tio else None
         if self.tio:
             # Crash-atomicity: drop any snapshot committed after the pinned
@@ -329,6 +336,7 @@ class CrawlEngine:
                 cands, seen, counts, self.hosts, self.base_domain, cfg, st["next_seq"],
                 bloom=bloom,
                 src_seq_bounds=(int(wave_lo), int(wave_hi)) if wave_lo is not None else None,
+                host_rules=host_rules,
             )
             new_frontier = (
                 new_frontier.withColumn("wave", F.lit(wave + 1))

@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Stage-by-stage scaling profile of the frontier-scheduling pipeline.
+
+Runs cumulative cuts of schedule_wave at a given local[N] and prints one
+JSON line per cut (min over reps), so two subprocess runs (8 vs 32)
+expose WHICH stage loses scaling efficiency. Usage:
+
+    python scripts/profile_frontier.py <cpus> [n_candidates]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main(cpus: int, n: int) -> None:
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    from pyspark.sql import functions as F
+
+    import bench
+    from librecrawl_spark.config import CrawlConfig
+    from librecrawl_spark.operators import frontier as FR
+    from librecrawl_spark.session import get_spark
+
+    spark = get_spark(f"prof-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus * 2)
+    cands, seen, hosts = bench.build_frontier_inputs(spark, n, bench.SEEN_M, bench.N_HOSTS)
+    cands, seen, hosts = cands.persist(), seen.persist(), hosts.persist()
+    cands.count(), seen.count(), hosts.count()
+
+    cfg = CrawlConfig(trap_threshold=1_000_000_000, crawl_external=True,
+                      respect_robots=True, wave_seconds=3600.0)
+    reps = int(os.environ.get("BENCH_REPS", "2"))
+
+    def build(cut: str):
+        occ = cands.filter(F.col("clean_url") != F.col("src_url"))
+        if cut == "selffilter":
+            return occ
+        occ = FR.anti_join_seen(occ, seen)
+        if cut == "antijoin":
+            return occ
+        first = (
+            occ.groupBy("clean_url")
+            .agg(F.min(F.struct("src_seq", "link_idx", "depth", "signature",
+                                "host", "src_url")).alias("f"))
+            .select("clean_url", "f.*")
+        )
+        if cut == "dedup_first":
+            return first
+        first = first.join(F.broadcast(hosts.select("host", "robots_txt")), "host", "left")
+        if cut == "hosts_join":
+            return first
+        pol = FR.make_policy_udf("h0.example", cfg)
+        first = first.withColumn("policy_ok", pol(F.col("clean_url"), F.col("robots_txt"))).drop("robots_txt")
+        if cut == "policy_udf":
+            return first
+        return None
+
+    results = {}
+    for cut in ("selffilter", "antijoin", "dedup_first", "hosts_join", "policy_udf"):
+        best = 1e18
+        for _ in range(reps):
+            t0 = time.time()
+            noop(build(cut))
+            best = min(best, time.time() - t0)
+        results[cut] = round(best, 2)
+        print(f"PROGRESS {cut} {best:.2f}", file=sys.stderr, flush=True)
+
+    # full pipeline pieces beyond the cuts
+    best = 1e18
+    for _ in range(reps):
+        t0 = time.time()
+        nf, cd, th, occ_h = FR.schedule_wave(
+            cands, seen, spark.createDataFrame([], "signature string, cnt long"),
+            hosts, "h0.example", cfg, seq_start=0, src_seq_bounds=(0, n - 1))
+        noop(nf)
+        best = min(best, time.time() - t0)
+        occ_h.unpersist()
+    results["schedule_wave_noop"] = round(best, 2)
+
+    best = 1e18
+    for _ in range(reps):
+        t0 = time.time()
+        nf, cd, th, occ_h = FR.schedule_wave(
+            cands, seen, spark.createDataFrame([], "signature string, cnt long"),
+            hosts, "h0.example", cfg, seq_start=0, src_seq_bounds=(0, n - 1))
+        nf = nf.persist()
+        sel, defr = FR.apply_politeness(nf, hosts, cfg.wave_seconds)
+        sel.count()
+        best = min(best, time.time() - t0)
+        nf.unpersist()
+        occ_h.unpersist()
+    results["full_with_politeness"] = round(best, 2)
+
+    print("PROFILE_RESULT " + json.dumps({"cpus": cpus, "n": n, "stages": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]), int(sys.argv[2]) if len(sys.argv) > 2 else 5_000_000)

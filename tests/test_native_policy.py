@@ -1,0 +1,97 @@
+"""Native policy fast path == Python UDF (which itself transcribes
+crawler.py:1425-1492) on every URL/robots shape, including the ones that
+force the fallback. The native path must agree wherever it claims
+eligibility; ineligible rows are exactly the ones the engine routes to
+the UDF."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from librecrawl_spark.config import CrawlConfig
+from librecrawl_spark.operators.frontier import (
+    compile_robots_rules, make_policy_udf, native_policy_exprs)
+
+BASE = "site0.example"
+
+ROBOTS = {
+    "site0.example": "User-agent: *\nDisallow: /private/\nAllow: /private/ok\nCrawl-delay: 2",
+    "sub.site0.example": "User-agent: *\nDisallow: /",
+    "other.example": "User-agent: *\nDisallow: *",      # urllib quotes to %2A: matches nothing
+    "www.site0.example": "User-agent: bot\nDisallow: /x\n\nUser-agent: *\nAllow: /",
+    "weird.example": "User-agent: *\nDisallow: /café/",  # non-safe prefix -> not simple
+}
+
+URLS = [
+    "https://site0.example/",
+    "https://site0.example/private/page",
+    "https://site0.example/private/okthing",      # Allow wins (first match)
+    "https://site0.example/PUBLIC/Page",
+    "https://site0.example/file.PDF",
+    "https://site0.example/archive.tar.gz",
+    "https://site0.example/no-ext",
+    "https://site0.example",                      # no path -> '/'
+    "https://sub.site0.example/x",                # subdomain, disallow all
+    "https://other.example/x",                    # external + dead '*' rule
+    "https://www.site0.example/x",                # www-insensitive internal
+    "https://site0.example/q?x=1&y=2",            # querystring -> fallback
+    "https://site0.example/p%20q",                # %-escape -> fallback
+    "https://site0.example/semi;colon",           # params char -> fallback
+    "https://weird.example/café/x",          # non-simple rules -> fallback
+    "https://missing.example/x",                  # no robots row -> allow
+]
+
+
+@pytest.mark.parametrize("cfg", [
+    CrawlConfig(crawl_external=True, crawl_subdomains=True),
+    CrawlConfig(crawl_external=False, crawl_subdomains=False),
+    CrawlConfig(crawl_external=True, respect_robots=False),
+    CrawlConfig(crawl_external=True, include_extensions=("html", "pdf")),
+], ids=["open", "closed", "norobots", "include-ext"])
+def test_native_agrees_with_udf(spark, cfg):
+    hosts = spark.createDataFrame(
+        [(h, t) for h, t in ROBOTS.items()], "host string, robots_txt string"
+    )
+    rules = compile_robots_rules(hosts, cfg.user_agent)
+    df = spark.createDataFrame([(u,) for u in URLS], "clean_url string")
+    df = df.withColumn("host", F.regexp_extract("clean_url", r"^https?://([^/]+)", 1))
+    df = df.join(F.broadcast(hosts), "host", "left")
+    df = df.join(F.broadcast(rules.drop("robots_txt")), "host", "left")
+
+    eligible, m, native_ok = native_policy_exprs(F.col("clean_url"), BASE, cfg)
+    udf = make_policy_udf(BASE, cfg)
+    out = (
+        df.withColumn("_m_", m)
+        .withColumn("elig", eligible)
+        .withColumn("native", native_ok)
+        .withColumn("py", udf(F.col("clean_url"), F.col("robots_txt")))
+        .collect()
+    )
+    for r in out:
+        if r["elig"]:
+            assert r["native"] == r["py"], (r["clean_url"], r["native"], r["py"])
+
+    # the fallback-forcing URLs really are ineligible (unsafe URL chars,
+    # or a host whose rule prefixes aren't quote-safe — urllib stores
+    # 'Disallow: *' as '%2A', so other.example is conservatively routed
+    # to the UDF too)
+    by_url = {r["clean_url"]: r["elig"] for r in out}
+    for u in URLS:
+        if ("?" in u or "%" in u or ";" in u or "café" in u
+                or "other.example" in u):
+            assert not by_url[u], u
+        else:
+            assert by_url[u], u
+
+
+def test_rule_extraction_shapes(spark):
+    hosts = spark.createDataFrame(
+        [("a", ROBOTS["site0.example"]), ("b", None), ("c", "")],
+        "host string, robots_txt string",
+    )
+    rows = {r["host"]: r for r in compile_robots_rules(hosts, "UA").collect()}
+    a = rows["a"]
+    assert [(x["prefix"], x["allow"]) for x in a["rules"]] == [
+        ("/private/", False), ("/private/ok", True)]
+    assert a["simple"] is True
+    assert rows["b"]["rules"] is None and rows["b"]["allow_all"]
+    assert rows["c"]["rules"] == []  # empty robots: no entries -> allow
