@@ -454,6 +454,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.max("sess").alias("n_sessions"), F.count("*").alias("n_events"))
         )
 
+    def events_session_window(spark, sf):
+        # Spark's native gap-based session_window (streaming/windows.py);
+        # merge rule: new session iff gap >= 30min (window end exclusive)
+        from librecrawl_spark.streaming.windows import user_session_counts
+
+        return user_session_counts(_t(spark, sf, "events"))
+
+    def sim_neardup_exact(spark, sf):
+        # exact O(n^2) near-dup baseline (operators/similarity.py) —
+        # recall-1 reference for the LSH-blocked variant
+        from librecrawl_spark.operators.similarity import exact_near_dups
+
+        # synthetic embeddings top out at cos ~0.51 — 0.4 yields a
+        # non-trivial pair set at both sf0.001 and sf0.01
+        return exact_near_dups(_t(spark, sf, "embeddings"), threshold=0.4)
+
     def q3_shipping_priority(spark, sf):
         c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
         o = _t(spark, sf, "orders")
@@ -739,6 +755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": text_langid,
         "events_tumbling_window": events_tumbling_window,
         "events_sessionize": events_sessionize,
+        "events_session_window": events_session_window,
+        "sim_neardup_exact": sim_neardup_exact,
     }
 
 
@@ -1410,5 +1428,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, max(sess) AS n_sessions, count(*) AS n_events
             FROM s GROUP BY user_id
+        """,
+        # session_window merge rule: an event joins the session iff it
+        # starts strictly before prev_ts + gap, so a NEW session starts
+        # at gap >= 1800 (contrast events_sessionize's strict >)
+        "events_session_window": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                          THEN 1 ELSE 0 END AS newsess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, CAST(sum(newsess) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "sim_neardup_exact": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(
+                     list_sum(list_transform(range(1, len(a.embedding) + 1),
+                              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+                   6) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(
+                     list_sum(list_transform(range(1, len(a.embedding) + 1),
+                              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+                   6) >= 0.4
         """,
     }

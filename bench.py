@@ -93,13 +93,23 @@ def bench_frontier_schedule(spark, n: int = FRONTIER_N, m: int = SEEN_M) -> dict
     cfg = CrawlConfig(trap_threshold=1_000_000_000, crawl_external=True,
                       respect_robots=True, wave_seconds=3600.0)
     counts = spark.createDataFrame([], schema="signature string, cnt long")
+    # compiled once per crawl and reused by every wave (plans/crawl.py
+    # does the same) — materialized outside the per-wave timing
+    host_rules = FR.compile_robots_rules(hosts, cfg.user_agent).persist()
+    host_rules.count()
     reps = int(os.environ.get("BENCH_REPS", "2"))
     elapsed, n_sched = 1e18, 0
     for _ in range(reps):
         t0 = time.time()
+        # mirror the engine's gating (plans/crawl.py): below ~1.5M seen
+        # rows the anti-join broadcasts (64MB threshold, session.py) and
+        # the bloom's build job is pure overhead; past it, the per-wave
+        # rebuild cost belongs inside the timed region
+        bloom = (FR.build_seen_bloom(seen, expected=2 * m, fpp=0.03)
+                 if m >= 1_500_000 else None)
         new_frontier, counts_delta, trap_hits, occ = FR.schedule_wave(
             cands, seen, counts, hosts, "h0.example", cfg, seq_start=0,
-            src_seq_bounds=(0, n - 1),
+            src_seq_bounds=(0, n - 1), bloom=bloom, host_rules=host_rules,
         )
         new_frontier = new_frontier.persist()
         selected, deferred = FR.apply_politeness(new_frontier, hosts, cfg.wave_seconds)
@@ -107,7 +117,7 @@ def bench_frontier_schedule(spark, n: int = FRONTIER_N, m: int = SEEN_M) -> dict
         elapsed = min(elapsed, time.time() - t0)
         new_frontier.unpersist()
         occ.unpersist()
-    for d in (cands, seen, hosts):
+    for d in (cands, seen, hosts, host_rules):
         d.unpersist()
     return {
         "sec": round(elapsed, 2),

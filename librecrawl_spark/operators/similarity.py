@@ -143,3 +143,29 @@ def embedding_near_dups(df: DataFrame, dim: int, threshold: float = 0.95,
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+def exact_near_dups(df: DataFrame, threshold: float = 0.95,
+                    vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold — exact O(n^2)
+    baseline (all unordered pairs, double-precision math, round-6 like
+    cosine_topk). This is the recall-1 reference the LSH-blocked
+    ``embedding_near_dups`` is measured against; use it when n is small
+    enough that n^2/2 dot products are affordable (the 100 TB path is
+    the LSH variant)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    dot = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    na = F.expr(
+        "sqrt(aggregate(va, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))"
+    )
+    nb = F.expr(
+        "sqrt(aggregate(vb, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))"
+    )
+    return (
+        pairs.select("id_a", "id_b", F.round(dot / (na * nb), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

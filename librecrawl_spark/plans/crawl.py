@@ -324,10 +324,15 @@ class CrawlEngine:
                 F.col("clean_url").alias("target_url"), F.col("src_url").alias("source_url")
             )
 
-            # bloom prefilter once the seen-set is big enough to make the
-            # anti-join shuffle worth skipping for definitely-unseen URLs
+            # bloom prefilter once the seen-set is too big to BROADCAST:
+            # below ~64MB (~1.5M urls) the anti-join is already
+            # shuffle-free via broadcast-hash (session.py raises
+            # autoBroadcastJoinThreshold), so the bloom's extra build job
+            # only pays for itself past that point. Measured on the wave
+            # bench: bloom+shuffle-join 19.1s vs broadcast-join 12.6s at
+            # 5M candidates / 1M seen (scripts/tune_frontier.py).
             bloom = None
-            if st["next_seq"] >= 100_000:
+            if st["next_seq"] >= 1_500_000:
                 bloom = FR.build_seen_bloom(
                     seen, expected=max(st["next_seq"] * 2, cfg.bloom_expected_items // 100),
                     fpp=cfg.bloom_fpp,

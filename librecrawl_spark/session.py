@@ -31,6 +31,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # 64MB broadcast threshold (vs 10MB default): executors sized for
+        # analytics comfortably hold a 64MB hash side, and it keeps the
+        # seen-set anti-join and dimension joins shuffle-free far longer
+        # (wave bench: 19.1s -> 12.6s at 1M seen rows). AQE still decides
+        # per-join from runtime sizes, so oversized sides fall back.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")

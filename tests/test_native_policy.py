@@ -95,3 +95,59 @@ def test_rule_extraction_shapes(spark):
     assert a["simple"] is True
     assert rows["b"]["rules"] is None and rows["b"]["allow_all"]
     assert rows["c"]["rules"] == []  # empty robots: no entries -> allow
+
+
+@pytest.mark.parametrize("cfg", [
+    CrawlConfig(crawl_external=True, crawl_subdomains=True),
+    CrawlConfig(crawl_external=False, crawl_subdomains=False),
+    CrawlConfig(crawl_external=True, respect_robots=False),
+    CrawlConfig(crawl_external=True, include_extensions=("html", "pdf")),
+], ids=["open", "closed", "norobots", "include-ext"])
+def test_fast_variant_agrees_with_udf(spark, cfg):
+    """The single-rule codegen variant must agree with the UDF on every
+    eligible row whose host has <= 1 robots rule (the subset
+    schedule_wave routes to it)."""
+    from librecrawl_spark.operators.frontier import native_policy_exprs_fast
+
+    # single-rule robots shapes (plus missing/empty) for the fast path
+    robots = {
+        "site0.example": "User-agent: *\nDisallow: /private/",
+        "sub.site0.example": "User-agent: *\nDisallow: /",
+        "www.site0.example": "User-agent: *\nAllow: /",
+        "empty.example": "",
+    }
+    hosts = spark.createDataFrame(
+        [(h, t) for h, t in robots.items()], "host string, robots_txt string"
+    )
+    rules = compile_robots_rules(hosts, cfg.user_agent)
+    urls = [
+        "https://site0.example/",
+        "https://site0.example/private/page",
+        "https://site0.example/file.PDF",
+        "https://site0.example/a.b.html",
+        "https://site0.example",
+        "https://sub.site0.example/x",
+        "https://www.site0.example/x",
+        "https://empty.example/x",
+        "https://missing.example/x",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "clean_url string")
+    df = df.withColumn("host", F.regexp_extract("clean_url", r"^https?://([^/]+)", 1))
+    df = df.join(F.broadcast(hosts), "host", "left")
+    df = df.join(F.broadcast(rules.drop("robots_txt")), "host", "left")
+
+    eligible, m, fast_ok = native_policy_exprs_fast(F.col("clean_url"), BASE, cfg)
+    udf = make_policy_udf(BASE, cfg)
+    out = (
+        df.withColumn("elig", eligible)
+        .withColumn("single", F.coalesce("n_rules", F.lit(0)) <= 1)
+        .withColumn("fast", fast_ok)
+        .withColumn("py", udf(F.col("clean_url"), F.col("robots_txt")))
+        .collect()
+    )
+    checked = 0
+    for r in out:
+        if r["elig"] and r["single"]:
+            assert r["fast"] == r["py"], (r["clean_url"], r["fast"], r["py"])
+            checked += 1
+    assert checked >= 8  # every URL above is single-rule eligible
