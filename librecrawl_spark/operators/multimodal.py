@@ -194,3 +194,116 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             meta = ("video/mp4", 64, 48, 3000 + i * 100)
         rows.append((f"m{i}", kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id string, mime string, sample_rate int, channels int, "
+    "duration_ms int, n_bytes long, loudness double"
+)
+
+
+def parse_audio_header(payload) -> tuple[str, int, int, int] | None:
+    """REAL audio metadata from container headers — stdlib struct reads,
+    no codec: WAV RIFF chunk walk (fmt + data), FLAC STREAMINFO bit
+    unpack. Returns (mime, sample_rate, channels, duration_ms) or None
+    when the payload isn't a recognizable audio container."""
+    if not payload:
+        return None
+    b = bytes(payload)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        i, n = 12, len(b)
+        rate = ch = byte_rate = None
+        data_size = None
+        while i + 8 <= n:
+            cid = b[i:i + 4]
+            size = struct.unpack("<I", b[i + 4:i + 8])[0]
+            if cid == b"fmt " and i + 24 <= n:
+                ch, rate = struct.unpack("<HI", b[i + 10:i + 16])
+                byte_rate = struct.unpack("<I", b[i + 16:i + 20])[0]
+            elif cid == b"data":
+                data_size = size
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+        if rate and ch:
+            dur = int(data_size * 1000 / byte_rate) if (data_size and byte_rate) else 0
+            return ("audio/wav", rate, ch, dur)
+        return None
+    if b[:4] == b"fLaC" and len(b) >= 8 + 18:
+        # first metadata block must be STREAMINFO (34 bytes); the packed
+        # 8 bytes at offset 10 within it: sr(20) ch(3) bps(5) total(36)
+        blk = b[8:8 + 34]
+        packed = int.from_bytes(blk[10:18], "big")
+        rate = packed >> 44
+        ch = ((packed >> 41) & 0x7) + 1
+        total = packed & ((1 << 36) - 1)
+        if rate == 0:
+            return None
+        return ("audio/flac", rate, ch, int(total * 1000 / rate))
+    return None
+
+
+def make_test_wav(sample_rate: int = 8000, channels: int = 1,
+                  n_samples: int = 1600) -> bytes:
+    """A complete, valid 16-bit PCM WAV (RIFF + fmt + data) with a
+    deterministic sawtooth payload — stdlib-only fixture bytes."""
+    frames = b"".join(
+        struct.pack("<h", (i * 257) % 32768 - 16384) * channels
+        for i in range(n_samples)
+    )
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(frames)) + frames)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode + feature-extract audio, same shape as image_features:
+    sample_rate/channels/duration come from REAL container-header
+    parsing (parse_audio_header — WAV/FLAC); only the signal-level
+    feature (loudness) needs a codec and falls back to the
+    deterministic fake when ``fake=True``."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload) if r.payload is not None else b""
+                if not fake:
+                    raise NotImplementedError(
+                        "signal-level decode requires soundfile/ffmpeg — not in this container"
+                    )
+                h = hashlib.sha256(payload).digest()
+                hdr = parse_audio_header(payload)
+                mime, rate, ch, dur = hdr if hdr else (None, 0, 0, 0)
+                rows.append({
+                    "media_id": r.media_id, "mime": mime,
+                    "sample_rate": rate, "channels": ch, "duration_ms": dur,
+                    "n_bytes": len(payload),
+                    "loudness": round(h[3] / 255.0, 6),
+                })
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                columns=["media_id", "mime", "sample_rate", "channels",
+                         "duration_ms", "n_bytes", "loudness"]
+            )
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .repartition(F.xxhash64("media_id"))
+        .mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+    )
+
+
+def synthetic_audio(spark, n: int = 32) -> DataFrame:
+    """Deterministic audio fixture: real WAV bytes with varying
+    rate/channels/length so the header parser is exercised end-to-end."""
+    rows = []
+    for i in range(n):
+        rate = (8000, 16000, 44100)[i % 3]
+        ch = 1 + i % 2
+        n_samples = rate // 10 + i  # ~100ms
+        payload = make_test_wav(rate, ch, n_samples)
+        meta = ("audio/wav", 0, 0, int(n_samples * 1000 / rate))
+        rows.append((f"a{i}", "audio", bytearray(payload), meta))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

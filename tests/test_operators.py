@@ -186,6 +186,34 @@ class TestMultimodal:
         assert out == meta
 
 
+    def test_audio_header_parse_pure(self):
+        from librecrawl_spark.operators.multimodal import (
+            make_test_wav, parse_audio_header)
+
+        assert parse_audio_header(make_test_wav(8000, 1, 800)) == ("audio/wav", 8000, 1, 100)
+        assert parse_audio_header(make_test_wav(44100, 2, 4410)) == ("audio/wav", 44100, 2, 100)
+        # FLAC STREAMINFO: sr(20) ch(3) bps(5) total(36) packed big-endian
+        packed = (22050 << 44) | ((2 - 1) << 41) | ((16 - 1) << 36) | 22050
+        streaminfo = b"\x00" * 10 + packed.to_bytes(8, "big") + b"\x00" * 16
+        flac = b"fLaC" + b"\x80" + (34).to_bytes(3, "big") + streaminfo
+        assert parse_audio_header(flac) == ("audio/flac", 22050, 2, 1000)
+        assert parse_audio_header(b"RIFFxxxxJUNK") is None
+        assert parse_audio_header(b"") is None
+
+    def test_audio_features_real_rates(self, spark):
+        from librecrawl_spark.operators.multimodal import (
+            audio_features, synthetic_audio)
+
+        m = synthetic_audio(spark, 9)
+        out = {r["media_id"]: (r["mime"], r["sample_rate"], r["channels"], r["duration_ms"])
+               for r in audio_features(m).collect()}
+        want = {f"a{i}": ("audio/wav", (8000, 16000, 44100)[i % 3], 1 + i % 2,
+                          int(((8000, 16000, 44100)[i % 3] // 10 + i) * 1000
+                              / (8000, 16000, 44100)[i % 3]))
+                for i in range(9)}
+        assert out == want
+
+
 class TestSitemap:
     def test_parse_urlset(self, spark):
         from librecrawl_spark.sources.sitemap import parse_sitemaps
