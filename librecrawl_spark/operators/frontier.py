@@ -41,9 +41,14 @@ CAND_COLS = ("clean_url", "link_idx", "signature", "host", "src_url", "src_seq",
 # global sequence assignment (no single-partition window)
 # --------------------------------------------------------------------------
 
+def default_seq_buckets(spark) -> int:
+    return int(spark.conf.get("spark.sql.shuffle.partitions", "32")) * 2
+
+
 def add_global_seq(df: DataFrame, order_cols: list[str], start: int,
                    out_col: str = "seq", n_buckets: int | None = None,
-                   lead_bounds: tuple[int, int] | None = None) -> DataFrame:
+                   lead_bounds: tuple[int, int] | None = None,
+                   bucket_counts: dict[int, int] | None = None) -> DataFrame:
     """Assign a contiguous global sequence ``start, start+1, ...`` in
     ``order_cols`` order without ever collapsing to one partition.
 
@@ -53,10 +58,15 @@ def add_global_seq(df: DataFrame, order_cols: list[str], start: int,
     prefix-sum offsets, then rank within each bucket with an ordinary
     window — buckets are disjoint key ranges, so
     ``seq = offset[bucket] + rank - 1`` is globally contiguous and every
-    bucket ranks in parallel."""
+    bucket ranks in parallel.
+
+    ``bucket_counts`` (requires ``lead_bounds``): per-bucket row counts
+    the caller already knows — skips this function's counting pass
+    entirely, e.g. when the counts were piggybacked on an earlier
+    action (schedule_wave's combined probe)."""
     spark = df.sparkSession
     if n_buckets is None:
-        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32")) * 2
+        n_buckets = default_seq_buckets(spark)
     lead = order_cols[0]
     if lead_bounds is not None:
         # caller knows the leading key's range (e.g. the wave's seq span)
@@ -70,7 +80,10 @@ def add_global_seq(df: DataFrame, order_cols: list[str], start: int,
     width = max((hi - lo) // n_buckets + 1, 1)
     bucket = ((F.col(lead).cast("long") - F.lit(lo)) / F.lit(width)).cast("long")
     b = df.withColumn("_bkt", bucket)
-    counts = {r["_bkt"]: r["count"] for r in b.groupBy("_bkt").count().collect()}
+    if bucket_counts is not None and lead_bounds is not None:
+        counts = bucket_counts
+    else:
+        counts = {r["_bkt"]: r["count"] for r in b.groupBy("_bkt").count().collect()}
     if not counts:
         return df.withColumn(out_col, F.lit(start).cast("long"))
     offsets, acc = {}, start
@@ -534,7 +547,6 @@ def schedule_wave(
     hot_sigs = sig_stat.filter(F.col("prior") + F.col("wave_acc") >= T).select(
         "signature", "prior"
     )
-    has_hot = not hot_sigs.isEmpty()
 
     # packed lead bounds for the seq-assignment range buckets: _p order
     # IS (src_seq, link_idx) order, and sorting one long beats a
@@ -542,6 +554,34 @@ def schedule_wave(
     p_bounds = None
     if src_seq_bounds is not None:
         p_bounds = (src_seq_bounds[0] << 28, ((src_seq_bounds[1] + 1) << 28) - 1)
+
+    spark = candidates.sparkSession
+    bkt_counts = None
+    if p_bounds is not None:
+        # combined probe: ONE action returns the threshold-crossing
+        # signatures AND (optimistically, assuming none) the per-bucket
+        # row counts the seq assignment needs — the same job also
+        # materializes the `first` cache. Steady-state waves thus run 2
+        # driver actions total (probe + final count) instead of 3.
+        n_buckets = default_seq_buckets(spark)
+        width = max((p_bounds[1] - p_bounds[0]) // n_buckets + 1, 1)
+        bucket = ((F.col("_p") - F.lit(p_bounds[0])) / F.lit(width)).cast("long")
+        probe = hot_sigs.select(
+            F.lit("hot").alias("kind"), F.col("signature").alias("key"),
+            F.col("prior").cast("long").alias("val"),
+        ).unionByName(
+            first.filter("policy_ok").groupBy(bucket.alias("key")).count().select(
+                F.lit("bkt").alias("kind"), F.col("key").cast("string").alias("key"),
+                F.col("count").alias("val"))
+        )
+        rows = probe.collect()
+        hot_rows = [(r["key"], r["val"]) for r in rows if r["kind"] == "hot"]
+        bkt_counts = {int(r["key"]): r["val"] for r in rows if r["kind"] == "bkt"}
+        has_hot = bool(hot_rows)
+        if has_hot:
+            hot_sigs = spark.createDataFrame(hot_rows, "signature string, prior long")
+    else:
+        has_hot = not hot_sigs.isEmpty()
 
     cold_accepted = (
         (first.join(hot_sigs, "signature", "left_anti") if has_hot else first)
@@ -554,9 +594,10 @@ def schedule_wave(
         accepted = cold_accepted.persist()
         new_frontier = add_global_seq(
             accepted.drop("signature"), ["_p"], seq_start, lead_bounds=p_bounds,
+            bucket_counts=bkt_counts,
         ).drop("_p")
         counts_delta = accepted.groupBy("signature").agg(F.count("*").alias("cnt_delta"))
-        trap_hits = candidates.sparkSession.createDataFrame(
+        trap_hits = spark.createDataFrame(
             [], schema="signature string, hits long, example_url string"
         )
         return new_frontier, counts_delta, trap_hits, _CacheHandles([pre, accepted])

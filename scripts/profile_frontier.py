@@ -42,32 +42,45 @@ def main(cpus: int, n: int) -> None:
                       respect_robots=True, wave_seconds=3600.0)
     reps = int(os.environ.get("BENCH_REPS", "2"))
 
+    rules = FR.compile_robots_rules(hosts, cfg.user_agent).persist()
+    rules.count()
+
     def build(cut: str):
-        occ = cands.filter(F.col("clean_url") != F.col("src_url"))
+        # mirrors schedule_wave's current physical plan: packed-long
+        # dedup key, broadcast anti-join, native fast-path policy
+        occ = cands.filter(F.col("clean_url") != F.col("src_url")).drop("src_url")
         if cut == "selffilter":
             return occ
         occ = FR.anti_join_seen(occ, seen)
         if cut == "antijoin":
             return occ
+        packed = (F.shiftleft(F.col("src_seq").cast("long"), 28)
+                  + F.shiftleft(F.col("link_idx").cast("long"), 8)
+                  + F.col("depth").cast("long"))
         first = (
-            occ.groupBy("clean_url")
-            .agg(F.min(F.struct("src_seq", "link_idx", "depth", "signature",
-                                "host", "src_url")).alias("f"))
-            .select("clean_url", "f.*")
+            occ.withColumn("_p", packed)
+            .groupBy("clean_url")
+            .agg(F.min("_p").alias("_p"),
+                 F.first("signature").alias("signature"),
+                 F.first("host").alias("host"))
         )
         if cut == "dedup_first":
             return first
-        first = first.join(F.broadcast(hosts.select("host", "robots_txt")), "host", "left")
+        first = first.join(
+            F.broadcast(rules.select("host", "rule1_prefix", "rule1_allow",
+                                     "allow_all", "disallow_all", "simple", "n_rules")),
+            "host", "left")
         if cut == "hosts_join":
             return first
-        pol = FR.make_policy_udf("h0.example", cfg)
-        first = first.withColumn("policy_ok", pol(F.col("clean_url"), F.col("robots_txt"))).drop("robots_txt")
-        if cut == "policy_udf":
+        elig, m, fast_ok = FR.native_policy_exprs_fast(F.col("clean_url"), "h0.example", cfg)
+        first = first.filter(elig).withColumn("policy_ok", fast_ok).select(
+            "clean_url", "_p", "signature", "policy_ok")
+        if cut == "policy_native":
             return first
         return None
 
     results = {}
-    for cut in ("selffilter", "antijoin", "dedup_first", "hosts_join", "policy_udf"):
+    for cut in ("selffilter", "antijoin", "dedup_first", "hosts_join", "policy_native"):
         best = 1e18
         for _ in range(reps):
             t0 = time.time()
