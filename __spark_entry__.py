@@ -454,6 +454,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.max("sess").alias("n_sessions"), F.count("*").alias("n_events"))
         )
 
+    def text_winnow(spark, sf):
+        # winnowing (MOSS) fingerprints — operators/text.py
+        from librecrawl_spark.operators.text import winnow_fingerprints
+
+        return winnow_fingerprints(_t(spark, sf, "documents"))
+
     def events_session_window(spark, sf):
         # Spark's native gap-based session_window (streaming/windows.py);
         # merge rule: new session iff gap >= 30min (window end exclusive)
@@ -757,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": events_sessionize,
         "events_session_window": events_session_window,
         "sim_neardup_exact": sim_neardup_exact,
+        "text_winnow": text_winnow,
     }
 
 
@@ -1444,6 +1451,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sum(newsess) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id
+        """,
+        "text_winnow": """
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 5 THEN
+                       list_transform(range(1, len(toks) - 3),
+                                      i -> md5(array_to_string(toks[i:i+4], ' ')))
+                     ELSE [] END AS grams
+              FROM t
+            ), w AS (
+              SELECT doc_id,
+                     CASE WHEN len(grams) >= 4 THEN
+                       list_distinct(list_transform(range(1, len(grams) - 2),
+                                                    j -> list_min(grams[j:j+3])))
+                     WHEN len(grams) > 0 THEN [list_min(grams)]
+                     ELSE [] END AS fps
+              FROM g
+            )
+            SELECT doc_id,
+                   array_to_string(list_sort(fps), ',') AS fingerprints_csv,
+                   CAST(len(fps) AS INT) AS n_fp
+            FROM w
         """,
         "sim_neardup_exact": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -356,7 +356,9 @@ level's best per metric — this VM shows +/-40% noise windows from host
 neighbors (noise only subtracts throughput, so per-level bests are the
 honest capability estimates); no other load during measurement.
 
-Scaling fixes found by profiling stage-by-stage with noop writes:
+Scaling fixes found by profiling stage-by-stage with noop writes
+(round 1, then round 2 via scripts/tune_frontier.py interleaved A/B —
+single runs are meaningless under this host's noise):
 
 | fix | effect |
 |---|---|
@@ -366,6 +368,11 @@ Scaling fixes found by profiling stage-by-stage with noop writes:
 | conditional occ cache (only when the hot set is non-empty) | skips a 16M-row cache materialization per wave |
 | offsets via broadcast join, not a literal create_map | literal-map lookup is a per-row linear scan; frontier local[32] ~77s -> ~32s |
 | per-host politeness window only for delay-limited hosts | hot zero-delay hosts skip the ranking window |
+| r2: packed-long dedup key (src_seq/link_idx/depth in one int64) | primitive min agg buffer vs struct comparator+copy: dedup cut 5.7s -> 2.5s at local[32] |
+| r2: 64MB autoBroadcastJoinThreshold + bloom only past broadcast size | seen anti-join broadcast-hash instead of shuffle: wave 19.1s -> 12.6s |
+| r2: regex-free policy (startswith/translate/substring_index) + single-rule robots as codegen startswith | policy stage stays in whole-stage codegen; array-lambda walk only for multi-rule hosts |
+| r2: fused probe (hot-signature check + seq bucket counts in one collect) | steady wave: 3 driver actions -> 2; one fewer full pass over accepted |
+| r2: slim post-policy cache (url, packed key, signature, ok) | robots/rules columns never hit cache storage |
 
 On a real 4N-executor cluster — where added executors bring their own
 memory bandwidth and local disks — the calibration ceiling is ~1.0, so

@@ -86,3 +86,68 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     (content-defined identity, reference md5 hashing crawler.py:1127-1131)."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return df.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        k: int = 5, w: int = 4) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the MOSS algorithm): hash every k-token gram, slide a w-gram window,
+    keep each window's minimum hash; the distinct selected set is the
+    document's fingerprint. Guarantees every shared substring of length
+    >= w+k-1 tokens contributes at least one common fingerprint, so two
+    docs sharing long passages always collide — unlike plain MinHash,
+    which is probabilistic.
+
+    All JVM higher-order functions (transform/slice/array_min) over
+    md5-hex gram hashes (lexicographic min == uniform permutation min,
+    engine-portable — same trick as dedup.minhash_signatures). Output is
+    one row per doc with the sorted fingerprint set flattened to a CSV
+    string (scalar => directly oracle-comparable) plus the set size.
+
+    Scale: per-row array work only, no shuffle at all — the downstream
+    dedup join (explode + groupBy fingerprint) shuffles hash keys, never
+    text. CASE-guards keep sub-k/sub-w docs from evaluating
+    sequence(1, 0) (which counts DOWN in Spark and aborts the job)."""
+    toks = f"regexp_extract_all(lower({text_col}), '\\\\w+', 0)"
+    # staged through temp columns so tokenization/gram-hashing evaluates
+    # once per row (inlining the subexpr would re-run the regex per use)
+    grams = f"""
+      CASE WHEN size(_toks) >= {k} THEN
+        transform(sequence(1, size(_toks) - {k - 1}),
+                  i -> md5(concat_ws(' ', slice(_toks, i, {k}))))
+      ELSE array() END
+    """
+    fps = f"""
+      CASE WHEN size(_grams) >= {w} THEN
+        array_distinct(transform(sequence(1, size(_grams) - {w - 1}),
+                                 j -> array_min(slice(_grams, j, {w}))))
+      WHEN size(_grams) > 0 THEN array(array_min(_grams))
+      ELSE array() END
+    """
+    return (
+        df.withColumn("_toks", F.expr(toks))
+        .withColumn("_grams", F.expr(grams))
+        .withColumn("_fps", F.expr(fps))
+        .select(
+            "doc_id",
+            F.concat_ws(",", F.sort_array(F.col("_fps"))).alias("fingerprints_csv"),
+            F.size("_fps").alias("n_fp"),
+        )
+    )
+
+
+def winnow_dup_candidates(df: DataFrame, text_col: str = "text",
+                          k: int = 5, w: int = 4) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any winnowing fingerprint.
+    Explode + self-join on the fingerprint key — band-join shape, never
+    all-pairs (same scale contract as minhash_lsh_candidates)."""
+    base = winnow_fingerprints(df, text_col, k, w).select(
+        "doc_id", F.explode(F.split("fingerprints_csv", ",")).alias("fp")
+    ).filter(F.col("fp") != "")
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )

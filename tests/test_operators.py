@@ -358,3 +358,42 @@ class TestMisc:
             "doc_id long, text string")
         out = top_keywords(docs, n=2, top_k=3).collect()
         assert out[0]["gram"] == "alpha beta" and out[0]["freq"] == 3
+
+
+class TestWinnowing:
+    def test_guarantee_shared_passage_collides(self, spark):
+        """Winnowing's defining property: any shared token run of length
+        >= w+k-1 (= 8 here) yields at least one common fingerprint."""
+        from librecrawl_spark.operators.text import (
+            winnow_dup_candidates, winnow_fingerprints)
+
+        passage = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+        docs = spark.createDataFrame(
+            [("d1", f"intro words here {passage} tail one"),
+             ("d2", f"other start {passage} different ending text"),
+             ("d3", "completely unrelated content with many other words inside")],
+            "doc_id string, text string",
+        )
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in winnow_dup_candidates(docs).collect()}
+        assert ("d1", "d2") in pairs
+        assert ("d1", "d3") not in pairs and ("d2", "d3") not in pairs
+        fps = {r["doc_id"]: r for r in winnow_fingerprints(docs).collect()}
+        assert all(fps[d]["n_fp"] > 0 for d in ("d1", "d2", "d3"))
+
+    def test_short_doc_edges(self, spark):
+        """Sub-k and sub-w docs must not abort (sequence(1,0) guard) and
+        degrade to 0 or 1 fingerprints."""
+        from librecrawl_spark.operators.text import winnow_fingerprints
+
+        docs = spark.createDataFrame(
+            [("tiny", "two words"),              # < k tokens -> no grams
+             ("five", "one two three four five"),  # exactly k -> 1 gram < w
+             ("seven", "a b c d e f g")],          # 3 grams < w windows
+            "doc_id string, text string",
+        )
+        out = {r["doc_id"]: (r["n_fp"], r["fingerprints_csv"])
+               for r in winnow_fingerprints(docs).collect()}
+        assert out["tiny"] == (0, "")
+        assert out["five"][0] == 1
+        assert out["seven"][0] == 1  # min over 3 grams, window > doc
