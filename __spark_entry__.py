@@ -1433,7 +1433,8 @@ def oracle_sql() -> dict[str, str]:
                                         ROWS UNBOUNDED PRECEDING) AS sess
               FROM g
             )
-            SELECT user_id, max(sess) AS n_sessions, count(*) AS n_events
+            SELECT user_id, CAST(max(sess) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
             FROM s GROUP BY user_id
         """,
         # session_window merge rule: an event joins the session iff it
@@ -1477,6 +1478,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(fps) AS INT) AS n_fp
             FROM w
         """,
+        # round-4 on both sides (see operators/similarity.py): immune to
+        # summation-order epsilon between engines at the threshold
         "sim_neardup_exact": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(
@@ -1484,13 +1487,13 @@ def oracle_sql() -> dict[str, str]:
                               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
                      / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
                         * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
-                   6) AS cos_sim
+                   4) AS cos_sim
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(
                      list_sum(list_transform(range(1, len(a.embedding) + 1),
                               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
                      / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
                         * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
-                   6) >= 0.4
+                   4) >= 0.4
         """,
     }

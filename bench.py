@@ -195,8 +195,12 @@ def bench_queries(spark, sf_dir: str) -> dict:
 def run_suite() -> None:
     from librecrawl_spark.session import get_spark
 
+    from librecrawl_spark.session import WAVE_BROADCAST_THRESHOLD
+
     spark = get_spark("bench", master=f"local[{CPUS}]",
-                      shuffle_partitions=max(int(CPUS) * 2, 8))
+                      shuffle_partitions=max(int(CPUS) * 2, 8),
+                      extra_conf={"spark.sql.autoBroadcastJoinThreshold":
+                                  str(WAVE_BROADCAST_THRESHOLD)})
     t0 = time.time()
     q = bench_queries(spark, SF_DIR)
     fr = bench_frontier_schedule(spark)
@@ -226,8 +230,12 @@ def _scaling_child(cpus: int, n: int) -> None:
     # both levels get the same (ample) heap so the comparison measures
     # CPU scaling, not allocator pressure in a shared-size JVM
     os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    from librecrawl_spark.session import WAVE_BROADCAST_THRESHOLD
+
     spark = get_spark(f"bench-scale-{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=cpus * 2)
+                      shuffle_partitions=cpus * 2,
+                      extra_conf={"spark.sql.autoBroadcastJoinThreshold":
+                                  str(WAVE_BROADCAST_THRESHOLD)})
     fr = bench_frontier_schedule(spark, n=n)
     ex = bench_extract(spark, n_docs=int(os.environ.get("BENCH_EXTRACT_N", "200000")))
     cal = _calibrate_cpu(spark, cpus)

@@ -605,18 +605,25 @@ def schedule_wave(
     occ = occ.persist()
 
     # 4. exact ordered semantics for the hot residue only
+    # occ_rank from the TRUE (src_seq, link_idx) order, not from
+    # unpacking the clamped min key: link_idx saturates at 2^20-1 in the
+    # pack, so comparing raw link_idx to the unpacked value would rank
+    # nothing first for a URL whose first occurrence sits past the clamp
+    # (1M+-link trap pages — exactly where hot signatures live), and a
+    # clamp-side comparison could rank two saturated occurrences first.
+    # (src_seq, link_idx) is unique per occurrence, so row_number is
+    # deterministic; the partition+order matches w_url_before below, so
+    # both windows share one exchange+sort.
     occ_hot = (
         occ.join(F.broadcast(hot_sigs), "signature")
-        .join(
-            first.select("clean_url", "policy_ok",
-                         unpack["src_seq"].alias("f_seq"),
-                         unpack["link_idx"].alias("f_idx")),
-            "clean_url",
-        )
+        .join(first.select("clean_url", "policy_ok"), "clean_url")
         .withColumn(
             "occ_rank",
-            F.when((F.col("src_seq") == F.col("f_seq"))
-                   & (F.col("link_idx") == F.col("f_idx")), 1).otherwise(2),
+            F.when(
+                F.row_number().over(
+                    Window.partitionBy("clean_url").orderBy(*w_pos)
+                ) == 1, 1,
+            ).otherwise(2),
         )
     )
     w_sig_before = (
@@ -685,12 +692,14 @@ class _CacheHandles:
 
 def host_of(url_col):
     """Authority of an http(s) URL via pure string ops (codegen; no
-    regex). Frontier URLs are policy-admitted http(s) only, so the
-    scheme guard of the old ^https?:// regex is vacuous here; non-URL
-    strings yield garbage that simply misses the hosts join (same
-    outcome as the regex's empty match)."""
+    regex). Frontier URLs are policy-admitted http(s) only, but the
+    scheme guard is kept belt-and-braces: a stray non-http URL (e.g.
+    ftp://h0.example/x) must yield '' — not the real host — or it would
+    consume that host's politeness quota. Still pure codegen, no regex."""
     host, _ = _url_parts(url_col)
-    return host
+    return F.when(
+        url_col.startswith("http://") | url_col.startswith("https://"), host
+    ).otherwise(F.lit(""))
 
 
 def apply_politeness(eligible: DataFrame, hosts: DataFrame,

@@ -165,7 +165,13 @@ def exact_near_dups(df: DataFrame, threshold: float = 0.95,
     nb = F.expr(
         "sqrt(aggregate(vb, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))"
     )
+    # round-4 (not 6) for both the emitted value and the threshold
+    # filter: independent engines (Spark sequential fold vs an oracle's
+    # list_sum) may sum in different order, and a pair within float
+    # epsilon of the threshold could flip a round-6 comparison; at 4
+    # decimals a flip needs a 5e-5 summation divergence — impossible for
+    # unit-norm dots of this length
     return (
-        pairs.select("id_a", "id_b", F.round(dot / (na * nb), 6).alias("cos_sim"))
+        pairs.select("id_a", "id_b", F.round(dot / (na * nb), 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )

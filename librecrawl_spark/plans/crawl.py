@@ -195,6 +195,17 @@ class CrawlEngine:
 
     # -------------------------------------------------------------------- run
     def run(self) -> CrawlResult:
+        # the raised broadcast threshold is scoped to the crawl (not a
+        # global session default): every wave action plans inside this
+        # context, so the seen-set anti-join / hosts joins still
+        # broadcast up to 64MB, without exposing unrelated sessions'
+        # joins to the hash-build memory spike
+        from librecrawl_spark.session import broadcast_threshold
+
+        with broadcast_threshold(self.spark):
+            return self._run()
+
+    def _run(self) -> CrawlResult:
         spark = self.spark
         cfg = self.config
 

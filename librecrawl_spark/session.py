@@ -11,6 +11,7 @@ AQE coalescing).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -31,12 +32,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # 64MB broadcast threshold (vs 10MB default): executors sized for
-        # analytics comfortably hold a 64MB hash side, and it keeps the
-        # seen-set anti-join and dimension joins shuffle-free far longer
-        # (wave bench: 19.1s -> 12.6s at 1M seen rows). AQE still decides
-        # per-join from runtime sizes, so oversized sides fall back.
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # broadcast threshold stays at Spark's default here; hot spots
+        # that profit from a bigger hash side (the frontier wave's
+        # seen-set anti-join, bench analytics) raise it locally via
+        # broadcast_threshold()/WAVE_BROADCAST_THRESHOLD. A global 64MB
+        # default risked OOM on small-memory drivers: the hash-relation
+        # build transiently needs several times the estimated size, and
+        # AQE reconsiders only on size estimates, not memory pressure.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
@@ -55,3 +57,24 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+# 64MB hash side: keeps the seen-set anti-join and dimension joins
+# shuffle-free far longer (wave bench: 19.1s -> 12.6s at 1M seen rows).
+# Applied per-scope, not globally — see broadcast_threshold().
+WAVE_BROADCAST_THRESHOLD = 64 * 1024 * 1024
+
+
+@contextmanager
+def broadcast_threshold(spark: SparkSession, nbytes: int = WAVE_BROADCAST_THRESHOLD):
+    """Temporarily raise spark.sql.autoBroadcastJoinThreshold for a
+    scope whose executors are known to hold the hash side comfortably
+    (the threshold is read at query planning time, so it governs every
+    action triggered inside the ``with`` body)."""
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(nbytes))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)

@@ -30,10 +30,12 @@ def main(cpus: int, n: int) -> None:
     import bench
     from librecrawl_spark.config import CrawlConfig
     from librecrawl_spark.operators import frontier as FR
-    from librecrawl_spark.session import get_spark
+    from librecrawl_spark.session import WAVE_BROADCAST_THRESHOLD, get_spark
 
     spark = get_spark(f"prof-{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=cpus * 2)
+                      shuffle_partitions=cpus * 2,
+                      extra_conf={"spark.sql.autoBroadcastJoinThreshold":
+                                  str(WAVE_BROADCAST_THRESHOLD)})
     cands, seen, hosts = bench.build_frontier_inputs(spark, n, bench.SEEN_M, bench.N_HOSTS)
     cands, seen, hosts = cands.persist(), seen.persist(), hosts.persist()
     cands.count(), seen.count(), hosts.count()
