@@ -109,14 +109,19 @@ def _issue_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     i = F.col("doc_id")
     s = i.cast("string")
+    # URL-structure pathologies live inside class-preserving cases:
+    # case 2 stays 'important' (/about substring) but goes >115 chars,
+    # case 3 stays 'other' with an underscore, case 5 stays 'archive'
+    # (/page/ substring) with a repeated segment, case 6 stays 'other'
+    # with query parameters (stripped by the classifier's _path_of)
     path = (
         F.when(i % 7 == 0, F.lit("/"))
         .when(i % 7 == 1, F.concat(F.lit("/tag/t"), s))
-        .when(i % 7 == 2, F.concat(F.lit("/about/a"), s))
-        .when(i % 7 == 3, F.concat(F.lit("/login/l"), s))
+        .when(i % 7 == 2, F.concat(F.lit("/about/" + "a" * 110), s))
+        .when(i % 7 == 3, F.concat(F.lit("/login/l_"), s))
         .when(i % 7 == 4, F.concat(F.lit("/2024/05/12/post-"), s))
-        .when(i % 7 == 5, F.concat(F.lit("/page/"), s))
-        .otherwise(F.concat(F.lit("/a/b"), s))
+        .when(i % 7 == 5, F.concat(F.lit("/page/page/"), s))
+        .otherwise(F.concat(F.lit("/a/b"), s, F.lit("?ref=x")))
     )
     url = F.concat(F.lit("https://i.example"), path)
     title = (
@@ -168,6 +173,10 @@ def _issue_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         i % 5 == 2,
         F.expr("array(struct('/s.png' AS src, '' AS alt, '10' AS width, '10' AS height), "
                "struct('/t.png' AS src, 'ok' AS alt, '10' AS width, '10' AS height))"),
+    ).when(
+        i % 5 == 3,
+        F.expr("array(struct('http://i.example/mc.png' AS src, 'a' AS alt,"
+               " '10' AS width, '10' AS height))"),
     ).otherwise(F.expr(
         "array()"
     ).cast("array<struct<src:string,alt:string,width:string,height:string>>"))
@@ -215,7 +224,83 @@ def _issue_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
             (sd == 3).alias("has_organization"),
             (sd == 5).alias("has_website"),
             ((sd == 2) & (i % 2 == 0)).alias("article_fields_ok"),
+            # social / performance / links columns (round-3 families)
+            F.when(i % 4 == 1, F.expr("map('title', 'OG')"))
+            .otherwise(F.expr("map()")).alias("og_tags"),
+            F.when(i % 5 == 2, F.expr("map('card', 'summary')"))
+            .otherwise(F.expr("map()")).alias("twitter_tags"),
+            F.when(i % 29 == 21, F.lit(4_000_000).cast("long"))
+            .otherwise((F.lit(1000) + F.pmod(i, F.lit(2000))).cast("long")).alias("size"),
+            F.when(i % 13 == 6, F.lit(4200.0))
+            .otherwise(F.pmod(i, F.lit(900)).cast("double")).alias("response_time"),
+            F.when(i % 10 == 7, F.lit(60))
+            .otherwise(F.pmod(i, F.lit(5))).cast("int").alias("external_links"),
+            _links_data_variants(i).alias("links_data"),
         )
+    )
+
+
+def _links_data_variants(i):
+    """links_data cases exercising each link-issue predicate: internal
+    nofollow / empty anchor / generic anchor / _blank-without-noopener /
+    protocol-relative href / none."""
+    t = ("array<struct<href:string, absolute_url:string, text:string,"
+         " rel:array<string>, target:string, is_internal:boolean>>")
+    mk = lambda href, text, rel, target, is_int: F.expr(
+        f"array(struct('{href}' AS href, '{href}' AS absolute_url,"
+        f" '{text}' AS text, {rel} AS rel, '{target}' AS target,"
+        f" {is_int} AS is_internal))"
+    ).cast(t)
+    return (
+        F.when(i % 6 == 0, mk("/a", "More info", "array('nofollow')", "", "true"))
+        .when(i % 6 == 1, mk("https://e1.example/x", "", "array()", "", "false"))
+        .when(i % 6 == 2, mk("/b", "click here", "array()", "", "true"))
+        .when(i % 6 == 3, mk("https://ext3.example/p", "out", "array()", "_blank", "false"))
+        .when(i % 6 == 4, mk("//cdn.example/lib.js", "cdn", "array()", "", "false"))
+        .otherwise(F.expr("array()").cast(t))
+    )
+
+
+def _sitewide_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages-shaped DF over 5 synthetic domains for the SITE-WIDE issue
+    checks (security headers + unsafe cross-origin): header policy is a
+    pure function of domain (= doc_id % 5), unsafe _blank links of
+    doc_id % 7, so the DuckDB twin reconstructs expected rows exactly."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    dom = F.concat(F.lit("d"), F.pmod(i, F.lit(5)).cast("string"), F.lit(".example"))
+    url = F.concat(F.lit("https://"), dom, F.lit("/p"), i.cast("string"))
+    hm = (
+        F.when(i % 5 == 0, F.expr(
+            "map('content-security-policy', 'x', 'strict-transport-security', 'x',"
+            " 'x-frame-options', 'x')"))
+        .when(i % 5 == 1, F.expr(
+            "map('strict-transport-security', 'x', 'x-frame-options', 'x')"))
+        .when(i % 5 == 2, F.expr("map('content-security-policy', 'x')"))
+        .otherwise(F.expr("map()"))
+    )
+    t = ("array<struct<href:string, absolute_url:string, text:string,"
+         " rel:array<string>, target:string, is_internal:boolean>>")
+    ext = F.concat(F.lit("https://x"), F.pmod(i, F.lit(4)).cast("string"),
+                   F.lit(".example/out"))
+    ld = (
+        F.when(i % 7 == 3, F.array(F.struct(
+            ext.alias("href"), ext.alias("absolute_url"), F.lit("out").alias("text"),
+            F.expr("array()").cast("array<string>").alias("rel"),
+            F.lit("_blank").alias("target"), F.lit(False).alias("is_internal"))))
+        .when(i % 7 == 5, F.array(F.struct(
+            ext.alias("href"), ext.alias("absolute_url"), F.lit("ok").alias("text"),
+            F.expr("array('noopener')").alias("rel"),
+            F.lit("_blank").alias("target"), F.lit(False).alias("is_internal"))))
+        .otherwise(F.expr("array()").cast(t))
+    ).cast(t)
+    return d.select(
+        url.alias("url"),
+        F.lit(0).alias("wave"),
+        i.alias("seq"),
+        F.when(i % 19 == 4, F.lit(0)).otherwise(F.lit(200)).alias("status_code"),
+        hm.alias("response_headers"),
+        ld.alias("links_data"),
     )
 
 
@@ -599,6 +684,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return per_page_issues(_issue_pages(spark, sf))
 
+    def c15_requeue_math(spark, sf):
+        """S1 requeue mode (operators/extract.py split_retries): per-row
+        disposition of a deterministic fetch wave — recorded rows carry
+        the closed-form backoff_total, requeued 429s carry retry_count+1
+        and ready_wave = wave + ceil(backoff/wave_seconds)."""
+        from librecrawl_spark.operators import extract as X
+
+        ev = _t(spark, sf, "events").select("event_id")
+        i = F.col("event_id")
+        fetched = ev.select(
+            F.concat(F.lit("https://r.example/p"), i.cast("string")).alias("url"),
+            F.lit(1).alias("depth"),
+            i.cast("long").alias("seq"),
+            F.lit(5).alias("wave"),
+            F.pmod(i, F.lit(3)).cast("int").alias("retry_count"),
+            F.when(i % 4 == 0, F.lit(429)).otherwise(F.lit(200))
+            .cast("int").alias("status_code"),
+            F.lit(None).cast("string").alias("error"),
+            F.when(i % 8 == 0, F.lit("7")).otherwise(F.lit("")).alias("retry_after"),
+            F.when(i % 12 == 4, F.lit(2)).otherwise(F.lit(0))
+            .cast("int").alias("recover_after"),
+            F.lit(200).cast("int").alias("recover_status"),
+        )
+        rec, rq = X.split_retries(fetched, retries=3, base_delay=2.0,
+                                  wave=5, wave_seconds=60.0)
+        return (
+            rec.select(
+                "url", "seq", F.lit("record").alias("path"),
+                F.col("status_code").cast("int").alias("status"),
+                F.round("backoff_total", 2).alias("backoff"),
+                F.lit(None).cast("int").alias("ready_wave"),
+                F.col("retry_count").cast("int").alias("retry_count"),
+            ).unionByName(rq.select(
+                "url", "seq", F.lit("requeue").alias("path"),
+                F.lit(None).cast("int").alias("status"),
+                F.lit(None).cast("double").alias("backoff"),
+                F.col("ready_wave").cast("int").alias("ready_wave"),
+                F.col("retry_count").cast("int").alias("retry_count"),
+            ))
+        )
+
+    def p1_politeness_quota(spark, sf):
+        """Per-host politeness quota (operators/frontier.py
+        apply_politeness): host h gets floor(wave_seconds/crawl_delay)
+        slots (>=1, unlimited when delay<=0); FIFO by seq within host.
+        Returns per-host selected/deferred counts + the max selected seq
+        (order-sensitive: proves FIFO-within-host)."""
+        from librecrawl_spark.operators import frontier as FR
+
+        ev = _t(spark, sf, "events").select("event_id")
+        i = F.col("event_id")
+        frontier = ev.select(
+            F.concat(F.lit("https://h"), F.pmod(i, F.lit(7)).cast("string"),
+                     F.lit(".example/p"), i.cast("string")).alias("url"),
+            F.lit(1).alias("depth"),
+            i.cast("long").alias("seq"),
+            F.lit(0).alias("wave"),
+        )
+        hosts = spark.range(7).select(
+            F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example")).alias("host"),
+            F.lit("").alias("robots_txt"),
+            F.pmod("id", F.lit(4)).cast("double").alias("crawl_delay"),
+            F.lit("").alias("sitemap_xml"),
+        )
+        sel, def_ = FR.apply_politeness(frontier, hosts, wave_seconds=10.0)
+        host = F.regexp_extract("url", r"^https://([^/]*)", 1)
+        a = sel.groupBy(host.alias("host")).agg(
+            F.count("*").alias("n_selected"), F.max("seq").alias("max_sel_seq"))
+        b = def_.groupBy(host.alias("host")).agg(
+            F.count("*").alias("n_deferred"), F.min("seq").alias("min_def_seq"))
+        return a.join(b, "host", "full_outer").fillna(
+            {"n_selected": 0, "n_deferred": 0}).orderBy("host")
+
+    def i_sitewide_security(spark, sf):
+        """Site-wide once-per-domain checks (issue_detector.py:1153-1247):
+        missing CSP/HSTS/XFO + unsafe cross-origin links, attributed to
+        the first crawled page per domain."""
+        from librecrawl_spark.operators.issues import (
+            security_header_issues, unsafe_cross_origin_issues)
+
+        pg = _sitewide_pages(spark, sf)
+        return security_header_issues(pg).unionByName(unsafe_cross_origin_issues(pg))
+
     def u4_links_dedup(spark, sf):
         """U4: links dedup on (source,target) keeping FIRST in document
         order — the same row_number plan plans/crawl.py:254-268 uses."""
@@ -733,6 +901,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_hreflang_reciprocity": j6_hreflang_reciprocity,
         "j7_dup_candidates": j7_dup_candidates,
         "i_issue_predicates": i_issue_predicates,
+        "i_sitewide_security": i_sitewide_security,
+        "c15_requeue_math": c15_requeue_math,
+        "p1_politeness_quota": p1_politeness_quota,
         "u4_links_dedup": u4_links_dedup,
         "c2_normalize_compare": c2_normalize_compare,
         "c12_hreflang_codes": c12_hreflang_codes,
@@ -787,11 +958,11 @@ def _issue_predicates_sql() -> str:
         'https://i.example' || CASE {i7}
           WHEN 0 THEN '/'
           WHEN 1 THEN '/tag/t' || CAST(doc_id AS VARCHAR)
-          WHEN 2 THEN '/about/a' || CAST(doc_id AS VARCHAR)
-          WHEN 3 THEN '/login/l' || CAST(doc_id AS VARCHAR)
+          WHEN 2 THEN '/about/' || repeat('a', 110) || CAST(doc_id AS VARCHAR)
+          WHEN 3 THEN '/login/l_' || CAST(doc_id AS VARCHAR)
           WHEN 4 THEN '/2024/05/12/post-' || CAST(doc_id AS VARCHAR)
-          WHEN 5 THEN '/page/' || CAST(doc_id AS VARCHAR)
-          ELSE '/a/b' || CAST(doc_id AS VARCHAR) END AS url,
+          WHEN 5 THEN '/page/page/' || CAST(doc_id AS VARCHAR)
+          ELSE '/a/b' || CAST(doc_id AS VARCHAR) || '?ref=x' END AS url,
         CASE {i7} WHEN 0 THEN 'important' WHEN 1 THEN 'archive'
              WHEN 2 THEN 'important' WHEN 3 THEN 'other' WHEN 4 THEN 'important'
              WHEN 5 THEN 'archive' ELSE 'other' END AS ptype,
@@ -821,7 +992,19 @@ def _issue_predicates_sql() -> str:
         CAST(doc_id % 19 AS INT) <> 4 AS parsed,
         CAST(doc_id % 6 AS INT) AS sd,
         CASE WHEN CAST(doc_id % 6 AS INT) = 1 THEN CAST(doc_id % 3 AS INT) ELSE 0 END AS faq_count,
-        (CAST(doc_id % 6 AS INT) = 2 AND doc_id % 2 = 0) AS article_ok
+        (CAST(doc_id % 6 AS INT) = 2 AND doc_id % 2 = 0) AS article_ok,
+        -- round-3 families (social / url / performance / links / security)
+        NOT (CAST(doc_id % 4 AS INT) = 1) AS og_missing,
+        NOT (CAST(doc_id % 5 AS INT) = 2) AS tw_missing,
+        CASE WHEN CAST(doc_id % 29 AS INT) = 21 THEN 4000000
+             ELSE 1000 + CAST(doc_id % 2000 AS INT) END AS psize,
+        CASE WHEN CAST(doc_id % 13 AS INT) = 6 THEN 4200.0
+             ELSE CAST(CAST(doc_id % 900 AS INT) AS DOUBLE) END AS rt,
+        CASE WHEN CAST(doc_id % 10 AS INT) = 7 THEN 60
+             ELSE CAST(doc_id % 5 AS INT) END AS ext_links,
+        CAST(doc_id % 6 AS INT) AS l6,
+        CAST(doc_id % 5 AS INT) = 3 AS img_mixed,
+        {i7} AS i7mod
       FROM documents
     """
     sel = "SELECT url, {t} AS type, {c} AS category, {i} AS issue, {d} AS details FROM pg WHERE {w}"
@@ -917,6 +1100,55 @@ def _issue_predicates_sql() -> str:
         sel.format(t="'warning'", c="'Structured Data'", i="'Schema: Article missing required fields'",
                    d="'Article schema should have headline and datePublished'",
                    w="sd = 2 AND NOT article_ok"),
+        # social (issue_detector.py:653-674); live gate = status <> 0
+        sel.format(t="'info'", c="'Social'", i="'Missing OpenGraph Tags'",
+                   d="'Page has no OpenGraph tags for social sharing'",
+                   w="status <> 0 AND og_missing"),
+        sel.format(t="'info'", c="'Social'", i="'Missing Twitter Card Tags'",
+                   d="'Page has no Twitter Card tags'",
+                   w="status <> 0 AND tw_missing"),
+        # URL structure (issue_detector.py:1037-1079) — expected-case
+        # predicates per construction (case 2 long, 3 underscore,
+        # 5 repetitive, 6 parameters)
+        sel.format(t="'info'", c="'URL'", i="'URL: Over 115 Characters'",
+                   d="'URL is ' || CAST(len(url) AS VARCHAR) || ' characters long'",
+                   w="status <> 0 AND i7mod = 2"),
+        sel.format(t="'info'", c="'URL'", i="'URL: Underscores'",
+                   d="'URL contains underscores (use hyphens instead)'",
+                   w="status <> 0 AND i7mod = 3"),
+        sel.format(t="'info'", c="'URL'", i="'URL: Parameters'",
+                   d="'URL contains query parameters'",
+                   w="status <> 0 AND i7mod = 6"),
+        sel.format(t="'info'", c="'URL'", i="'URL: Repetitive Path'",
+                   d="'URL path contains duplicate segments'",
+                   w="status <> 0 AND i7mod = 5"),
+        # performance (issue_detector.py:849-871)
+        sel.format(t="'error'", c="'Performance'", i="'Slow Response Time'",
+                   d="'Page took ' || CAST(rt AS VARCHAR) || 'ms to respond (recommended: <3000ms)'",
+                   w="status <> 0 AND rt > 3000"),
+        sel.format(t="'error'", c="'Performance'", i="'Large Page Size'",
+                   d="'Page size is ' || printf('%.1f', psize / 1024.0 / 1024.0) || 'MB (recommended: <3MB)'",
+                   w="status <> 0 AND psize > 3145728"),
+        # links (issue_detector.py:1081-1151); one links_data row per case
+        sel.format(t="'info'", c="'Links'", i="'Links: Pages With High External Outlinks'",
+                   d="'Page has ' || CAST(ext_links AS VARCHAR) || ' external links'",
+                   w="status <> 0 AND ext_links > 50"),
+        sel.format(t="'info'", c="'Links'", i="'Links: Internal Nofollow Outlinks'",
+                   d="'1 internal links are marked nofollow'",
+                   w="status <> 0 AND l6 = 0"),
+        sel.format(t="'warning'", c="'Links'", i="'Links: Internal Outlinks With No Anchor Text'",
+                   d="'1 links have no anchor text'",
+                   w="status <> 0 AND l6 = 1"),
+        sel.format(t="'warning'", c="'Links'", i="'Links: Non-Descriptive Anchor Text'",
+                   d="'1 links use generic text like \"click here\"'",
+                   w="status <> 0 AND l6 = 2"),
+        # security, per-page (issue_detector.py:1250-1298)
+        sel.format(t="'error'", c="'Security'", i="'Security: Mixed Content'",
+                   d="'Secure page loads insecure (HTTP) assets: Image: http://i.example/mc.png'",
+                   w="status <> 0 AND img_mixed"),
+        sel.format(t="'warning'", c="'Security'", i="'Security: Protocol-Relative Resource Links'",
+                   d="'1 resources use protocol-relative URLs (//). Use explicit HTTPS instead.'",
+                   w="status <> 0 AND l6 = 4"),
     ]
     return f"WITH pg AS ({pg})\n" + "\nUNION ALL\n".join(checks)
 
@@ -1033,6 +1265,98 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "i_issue_predicates": _issue_predicates_sql(),
+        # split_retries math (operators/extract.py): eff status via the
+        # attempt-indexed recover rule; backoff closed forms per
+        # retry_count in {0,1,2} with base_delay=2.0, Retry-After='7'
+        "c15_requeue_math": """
+            WITH f AS (
+              SELECT 'https://r.example/p' || CAST(event_id AS VARCHAR) AS url,
+                     event_id AS seq,
+                     CAST(event_id % 3 AS INT) AS retry_count,
+                     CASE WHEN event_id % 4 = 0 THEN 429 ELSE 200 END AS status_code,
+                     CASE WHEN event_id % 8 = 0 THEN '7' ELSE '' END AS retry_after,
+                     CASE WHEN event_id % 12 = 4 THEN 2 ELSE 0 END AS recover_after
+              FROM events
+            ), e AS (
+              SELECT *, CASE WHEN recover_after > 0 AND retry_count >= recover_after
+                             THEN 200 ELSE status_code END AS eff
+              FROM f
+            )
+            SELECT url, seq, 'record' AS path, CAST(eff AS INT) AS status,
+                   round(CASE WHEN retry_after = '7' THEN retry_count * 7.0
+                              ELSE CASE retry_count WHEN 0 THEN 0.0
+                                   WHEN 1 THEN 2.0 ELSE 6.0 END END, 2) AS backoff,
+                   CAST(NULL AS INT) AS ready_wave, retry_count
+            FROM e WHERE NOT (eff = 429 AND retry_count < 3)
+            UNION ALL
+            SELECT url, seq, 'requeue' AS path, CAST(NULL AS INT) AS status,
+                   CAST(NULL AS DOUBLE) AS backoff,
+                   CAST(6 AS INT) AS ready_wave,
+                   CAST(retry_count + 1 AS INT) AS retry_count
+            FROM e WHERE eff = 429 AND retry_count < 3
+        """,
+        # apply_politeness (operators/frontier.py): host h = event_id%7,
+        # crawl_delay = h%4, quota = greatest(floor(10/delay), 1),
+        # unlimited when delay<=0; FIFO by seq within host
+        "p1_politeness_quota": """
+            WITH f AS (
+              SELECT 'h' || CAST(event_id % 7 AS VARCHAR) || '.example' AS host,
+                     event_id AS seq,
+                     CAST(event_id % 7 AS INT) % 4 AS delay,
+                     row_number() OVER (PARTITION BY event_id % 7
+                                        ORDER BY event_id) AS rn
+              FROM events
+            ), cls AS (
+              SELECT host, seq, rn,
+                     CASE WHEN delay <= 0 THEN NULL
+                          ELSE greatest(CAST(floor(10.0 / delay) AS BIGINT), 1)
+                     END AS quota
+              FROM f
+            )
+            SELECT host,
+                   count(*) FILTER (WHERE quota IS NULL OR rn <= quota) AS n_selected,
+                   max(seq) FILTER (WHERE quota IS NULL OR rn <= quota) AS max_sel_seq,
+                   count(*) FILTER (WHERE quota IS NOT NULL AND rn > quota) AS n_deferred,
+                   min(seq) FILTER (WHERE quota IS NOT NULL AND rn > quota) AS min_def_seq
+            FROM cls GROUP BY host ORDER BY host
+        """,
+        # site-wide rows reconstruct from the pure-function construction:
+        # header policy == domain (doc_id%5): d0 all, d1 no CSP,
+        # d2 CSP only, d3/d4 none; unsafe _blank links on doc_id%7=3
+        # toward external domain x(doc_id%4); live = doc_id%19<>4;
+        # first page per group = min(doc_id) (wave=0, seq=doc_id)
+        "i_sitewide_security": """
+            WITH doms AS (
+              SELECT DISTINCT CAST(doc_id % 5 AS INT) AS k FROM documents
+              WHERE doc_id % 19 <> 4
+            )
+            SELECT 'https://d' || CAST(k AS VARCHAR) || '.example' AS url,
+                   'info' AS type, 'Security' AS category,
+                   'Security: Missing Content-Security-Policy' AS issue,
+                   'Server does not send Content-Security-Policy header. This is a site-wide configuration issue.' AS details
+            FROM doms WHERE k IN (1, 3, 4)
+            UNION ALL
+            SELECT 'https://d' || CAST(k AS VARCHAR) || '.example',
+                   'warning', 'Security', 'Security: Missing HSTS Header',
+                   'HTTP Strict Transport Security (HSTS) is not enabled. Users effectively can be downgraded to HTTP.'
+            FROM doms WHERE k IN (2, 3, 4)
+            UNION ALL
+            SELECT 'https://d' || CAST(k AS VARCHAR) || '.example',
+                   'info', 'Security', 'Security: Missing X-Frame-Options',
+                   'Missing X-Frame-Options header can leave the site vulnerable to Clickjacking.'
+            FROM doms WHERE k IN (2, 3, 4)
+            UNION ALL
+            SELECT 'https://d' || CAST(CAST(m AS INT) % 5 AS VARCHAR) || '.example/p' || CAST(m AS VARCHAR),
+                   'info', 'Security', 'Security: Unsafe Cross-Origin Links',
+                   'External domain x' || CAST(CAST(m AS INT) % 4 AS VARCHAR)
+                     || '.example opens in new tab without rel="noopener" (Best practice recommendation)'
+            FROM (
+              SELECT CAST(doc_id % 4 AS INT) AS xk, min(doc_id) AS m
+              FROM documents
+              WHERE doc_id % 7 = 3 AND doc_id % 19 <> 4
+              GROUP BY 1
+            )
+        """,
         "u4_links_dedup": """
             WITH links AS (
               SELECT 's' || CAST(l_orderkey % 500 AS VARCHAR) AS source_url,

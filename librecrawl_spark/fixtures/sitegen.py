@@ -15,12 +15,18 @@ the extraction UDF (operators/extract.py) and the oracle
 (oracle/refcrawl.py). Field packing uses unit-separator ``\\x1f``:
 
 - http      text="status=200;content_type=text/html;size=1234;redirect=;retry_after="
+            optional keys: rt=<ms> (synthetic response latency,
+            crawler.py:1108), hdr=<csp,hsts,xfo subset present>
+            (security response headers, issue_detector.py:1186-1247)
 - title     text=title text
 - meta      text="<name>\\x1f<content>"           (description, robots, viewport, ...)
 - canonical text=href
 - h1..h6    text=heading text
 - text      text=body text run
-- anchor    media_ref=href, text="<anchor>\\x1f<region>\\x1f<rel>"  region in nav|footer|body
+- anchor    media_ref=href, text="<anchor>\\x1f<region>\\x1f<rel>\\x1f<target>"
+            region in nav|footer|body; rel = space-separated tokens
+            (nofollow noopener noreferrer); target "" or "_blank";
+            3-field legacy spans parse with target=""
 - media     media_ref=img src, text="<alt>\\x1f<w>\\x1f<h>"
 - hreflang  text=lang code, media_ref=target URL
 - jsonld    text=raw JSON-LD string (invalid JSON = skipped, like the
@@ -52,18 +58,28 @@ _WORDS = (
 
 
 def http_span(status=200, content_type="text/html", size=1000, redirect="",
-              retry_after="", xrobots="", recover_after=0, recover_status=0):
+              retry_after="", xrobots="", recover_after=0, recover_status=0,
+              rt=0.0, hdr=""):
     """``recover_after=N`` (N>=1) models a host that recovers after N
     attempts: attempts 0..N-1 return ``status`` (a 429), attempt >= N
     returns ``recover_status``. Never combined with redirect statuses
     (requests re-follows the whole chain per attempt; the fixture keeps
-    recovery on terminal hops only)."""
+    recovery on terminal hops only).
+
+    ``rt`` is the hop's synthetic latency in ms (page response_time =
+    sum over the redirect chain); ``hdr`` lists present security headers
+    from {csp, hsts, xfo}, comma-separated (a site-wide host policy in
+    generate_site, like real server config)."""
     text = (
         f"status={status};content_type={content_type};size={size};"
         f"redirect={redirect};retry_after={retry_after};xrobots={xrobots}"
     )
     if recover_after:
         text += f";recover_after={recover_after};recover_status={recover_status}"
+    if rt:
+        text += f";rt={rt}"
+    if hdr:
+        text += f";hdr={hdr}"
     return {"kind": "http", "text": text, "media_ref": "", "offset": 0}
 
 
@@ -116,6 +132,15 @@ def generate_site(cfg: SiteGenConfig | None = None) -> Site:
         for k in range(1, n):
             sect = ("page", "blog", "docs")[k % 3]
             u = f"https://{host}/{sect}/{k}"
+            # URL-structure pathologies (issue_detector.py:1037-1079):
+            # underscores / repetitive path segments / >115-char URLs
+            if k % 11 == 6:
+                u = f"https://{host}/{sect}/entry_{k}_long_form"
+            elif k % 13 == 9:
+                u = f"https://{host}/{sect}/{sect}/{k}"
+            elif k % 17 == 12:
+                slug = "-".join(["very-long-descriptive-url-segment"] * 3) + f"-{k}"
+                u = f"https://{host}/{sect}/{slug}"
             if k % 7 == 0:
                 u += f"?id={k}&utm_source=gen"  # exercises canonical-key param strip
             urls.append(u)
@@ -158,9 +183,18 @@ def generate_site(cfg: SiteGenConfig | None = None) -> Site:
                 elif m == 15 and cfg.redirect_chains:
                     status, redirect = 302, urls[0]
             size = 500 + prng.randrange(4000)
+            if not is_trap_page and pi % 29 == 17:
+                size = 3 * 1024 * 1024 + 50_000  # Large Page Size (>3MB)
             xrobots = "noindex" if (pi % 13 == 7) else ""
+            # latency + security headers derive from crc32 side-channels
+            # (NOT prng) so adding them doesn't perturb the existing
+            # deterministic draw sequence
+            rtseed = zlib.crc32(f"rt|{url}".encode())
+            rt = 3500.0 if rtseed % 19 == 3 else float(50 + rtseed % 1200)
+            hdr = ("csp,hsts,xfo", "hsts,xfo", "csp", "")[hosts.index(host) % 4]
             spans.append(http_span(status, "text/html", size, redirect, retry_after,
-                                   xrobots, recover_after, recover_status))
+                                   xrobots, recover_after, recover_status,
+                                   rt=rt, hdr=hdr))
 
             if status in (301, 302):
                 site.documents.append({"doc_id": url, "spans": spans})
@@ -246,12 +280,16 @@ def generate_site(cfg: SiteGenConfig | None = None) -> Site:
                     near_dup_budget -= 1
             spans.append({"kind": "text", "text": body, "media_ref": "", "offset": 0})
 
-            # images
+            # images (an absolute http:// src on an https page = mixed
+            # content, issue_detector.py:1250-1288)
             for j in range(pi % 3):
                 alt = "" if (pi + j) % 4 == 0 else f"img {j} of {pi}"
                 w, h = ("", "") if (pi + j) % 5 == 0 else ("640", "480")
+                src = f"/static/img_{pi}_{j}.png"
+                if (pi + j) % 7 == 2:
+                    src = f"http://{host}/static/img_{pi}_{j}.png"
                 spans.append({"kind": "media", "text": f"{alt}{SEP}{w}{SEP}{h}",
-                              "media_ref": f"/static/img_{pi}_{j}.png", "offset": 0})
+                              "media_ref": src, "offset": 0})
 
             # json-ld on some pages: FAQ / complete Article / Organization /
             # plain Article (missing required fields) / invalid JSON
@@ -277,15 +315,21 @@ def generate_site(cfg: SiteGenConfig | None = None) -> Site:
                               "media_ref": "", "offset": 0})
 
             # links ---------------------------------------------------------
-            anchors: list[tuple[str, str, str, str]] = []  # (href, text, region, rel)
+            # (href, text, region, rel, target); link-issue pathologies
+            # (empty/generic anchors, _blank without noopener,
+            # protocol-relative hrefs) derive from crc32 side-channels so
+            # the historical prng draw sequence is untouched
+            anchors: list[tuple[str, str, str, str, str]] = []
             hi = hosts.index(host)
             for j in range(cfg.fanout):
                 r = prng.random()
+                is_ext = False
                 if r < cfg.frac_special:
                     href = ["#top", "mailto:a@b.c", "tel:+1234", "javascript:void(0)", ""][j % 5]
                 elif r < cfg.frac_special + cfg.frac_external and cfg.n_hosts > 1:
                     other = hosts[(hi + 1 + prng.randrange(cfg.n_hosts - 1)) % cfg.n_hosts]
                     href = pages_of[other][prng.randrange(len(pages_of[other]))]
+                    is_ext = True
                 else:
                     target = urls[prng.randrange(len(urls))]
                     # mix absolute and relative forms
@@ -297,17 +341,36 @@ def generate_site(cfg: SiteGenConfig | None = None) -> Site:
                         href += "#frag"
                 region = ("body", "nav", "footer")[j % 3]
                 rel = "nofollow" if prng.random() < 0.15 else ""
-                anchors.append((href, f"link {j} from {pi}", region, rel))
+                text = f"link {j} from {pi}"
+                tgt_attr = ""
+                aseed = zlib.crc32(f"a|{url}|{j}".encode())
+                if is_ext:
+                    if aseed % 3 == 0:
+                        tgt_attr = "_blank"  # no noopener -> unsafe cross-origin
+                    elif aseed % 3 == 1:
+                        tgt_attr = "_blank"
+                        rel = (rel + " noopener").strip()
+                    if aseed % 5 == 4 and href.startswith("https://"):
+                        href = href[len("https:"):]  # protocol-relative
+                if aseed % 7 == 2:
+                    text = ""  # no anchor text
+                elif not is_ext and aseed % 7 == 5:
+                    text = ("click here", "read more", "more", "here")[aseed % 4]
+                anchors.append((href, text, region, rel, tgt_attr))
             if is_trap_page:
                 # trap section grows itself: /p/<n> links to /p/<n+1..n+3>
                 n = int(url.rsplit("/", 1)[1])
-                anchors = [(f"/p/{n + d}", f"trap {n + d}", "body", "") for d in (1, 2, 3)]
+                anchors = [(f"/p/{n + d}", f"trap {n + d}", "body", "", "")
+                           for d in (1, 2, 3)]
             elif host == hosts[0] and pi == 0 and cfg.trap_pages:
-                anchors.append(("/p/0", "trap entry", "body", ""))
+                anchors.append(("/p/0", "trap entry", "body", "", ""))
 
-            for li, (href, text, region, rel) in enumerate(anchors):
-                spans.append({"kind": "anchor", "text": f"{text}{SEP}{region}{SEP}{rel}",
-                              "media_ref": href, "offset": 0})
+            for li, (href, text, region, rel, tgt_attr) in enumerate(anchors):
+                spans.append({
+                    "kind": "anchor",
+                    "text": f"{text}{SEP}{region}{SEP}{rel}{SEP}{tgt_attr}",
+                    "media_ref": href, "offset": 0,
+                })
 
             # hreflang pairs on a few pages
             if pi % 8 == 2 and len(urls) > pi + 1:

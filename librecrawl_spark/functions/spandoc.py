@@ -51,9 +51,12 @@ def parse_http(spans, attempt: int = 0) -> dict:
                 "retry_after": d.get("retry_after", ""),
                 "xrobots": d.get("xrobots", ""),
                 "recover_after": recover_after,
+                "rt": float(d.get("rt", "0") or 0.0),
+                "hdr": d.get("hdr", ""),
             }
     return {"status": 0, "content_type": "", "size": 0, "redirect": "",
-            "retry_after": "", "xrobots": "", "recover_after": 0}
+            "retry_after": "", "xrobots": "", "recover_after": 0,
+            "rt": 0.0, "hdr": ""}
 
 
 def _split3(text: str) -> tuple[str, str, str]:
@@ -63,13 +66,44 @@ def _split3(text: str) -> tuple[str, str, str]:
     return parts[0], parts[1], parts[2]
 
 
+def _split4(text: str) -> tuple[str, str, str, str]:
+    parts = text.split(SEP)
+    while len(parts) < 4:
+        parts.append("")
+    return parts[0], parts[1], parts[2], parts[3]
+
+
 def anchors_of(spans):
-    """Ordered anchor tuples (href, anchor_text, region, rel)."""
+    """Ordered anchor tuples (href, anchor_text, region, rel, target).
+    ``rel`` is a space-separated token string (nofollow noopener ...);
+    legacy 3-field spans parse with target=''."""
     out = []
     for s in spans:
         if s["kind"] == "anchor":
-            text, region, rel = _split3(s["text"])
-            out.append((s["media_ref"], text, region, rel))
+            text, region, rel, target = _split4(s["text"])
+            out.append((s["media_ref"], text, region, rel, target))
+    return out
+
+
+# security response headers the fixture's ``hdr`` tokens stand for
+# (issue_detector.py:1186-1247 checks membership, lowercased)
+_HDR_TOKENS = {
+    "csp": ("content-security-policy", "default-src 'self'"),
+    "hsts": ("strict-transport-security", "max-age=31536000"),
+    "xfo": ("x-frame-options", "SAMEORIGIN"),
+}
+
+
+def headers_map(hdr: str) -> dict:
+    """Expand the http span's ``hdr`` token list into the page's
+    response_headers dict (lowercase names, like requests' CaseInsensitive
+    headers normalized once at extraction)."""
+    out = {}
+    for tok in (hdr or "").split(","):
+        tok = tok.strip()
+        if tok in _HDR_TOKENS:
+            name, value = _HDR_TOKENS[tok]
+            out[name] = value
     return out
 
 
@@ -267,15 +301,29 @@ def extract_page(url: str, spans, base_domain: str) -> dict:
     internal_links = 0
     external_links = 0
     anchor_texts: list[str] = []
-    for href, text, _region, _rel in anchors_of(spans):
+    links_data: list[dict] = []
+    for href, text, _region, rel, target in anchors_of(spans):
         anchor_texts.append(text)
         # seo_extractor.py:225 — javascript: IS excluded here (unlike F1)
         if href and not href.startswith(("#", "mailto:", "tel:", "javascript:")):
             absolute = urljoin(url, href)
-            if U.strip_www(urlparse(absolute).netloc) == U.strip_www(base_domain):
+            is_int = U.strip_www(urlparse(absolute).netloc) == U.strip_www(base_domain)
+            if is_int:
                 internal_links += 1
             else:
                 external_links += 1
+            # seo_extractor.py:239-247 — detailed link data (raw href,
+            # raw stripped text, rel token list, target, exact-domain
+            # is_internal — note: NOT the subdomain scope of
+            # collect_all_links)
+            links_data.append({
+                "href": href,
+                "absolute_url": absolute,
+                "text": text.strip(),
+                "rel": rel.split() if rel else [],
+                "target": target,
+                "is_internal": is_int,
+            })
 
     visible_text = " ".join(
         [title] + [h["text"] for h in headings] + body_texts + anchor_texts
@@ -320,6 +368,7 @@ def extract_page(url: str, spans, base_domain: str) -> dict:
         "images": images,
         "internal_links": internal_links,
         "external_links": external_links,
+        "links_data": links_data,
         "hreflang": hreflang,
         "json_ld": [json.dumps(o, sort_keys=True, separators=(",", ":"))
                     for o in json_ld_objs],
@@ -335,7 +384,7 @@ def collect_links(url: str, spans, base_domain: str):
     '(no text)' fallback. Dedup on (source,target) is done by the caller
     (engine: dropDuplicates; oracle: links_set)."""
     out = []
-    for href, text, region, rel in anchors_of(spans):
+    for href, text, region, rel, _target in anchors_of(spans):
         if not href:
             continue
         absolute = urljoin(url, href)
@@ -351,7 +400,9 @@ def collect_links(url: str, spans, base_domain: str):
             "is_internal": scope in ("root", "sub"),
             "target_domain": urlparse(absolute).netloc,
             "placement": {"nav": "navigation", "footer": "footer"}.get(region, "body"),
-            "nofollow": rel == "nofollow",
+            # 'nofollow' in a_tag.get('rel', []) — token membership
+            # (link_manager.py:167)
+            "nofollow": "nofollow" in rel.split(),
             "scope": scope,
         })
     return out
@@ -365,7 +416,7 @@ def frontier_candidates(url: str, spans):
     are relational stages applied by the engine (operators/frontier.py)
     and sequentially by the oracle."""
     out = []
-    for idx, (href, _text, _region, _rel) in enumerate(anchors_of(spans)):
+    for idx, (href, _text, _region, _rel, _tgt) in enumerate(anchors_of(spans)):
         href = href.strip()
         if U.is_special_href(href):
             continue
@@ -411,6 +462,7 @@ def extract_all(url: str, spans, base_domain: str, *, want_links: bool = True,
     internal_links = 0
     external_links = 0
     anchor_texts: list[str] = []
+    links_data: list[dict] = []
     links: list[dict] = []
     cands: list[dict] = []
     base_www = U.strip_www(base_domain)
@@ -420,7 +472,7 @@ def extract_all(url: str, spans, base_domain: str, *, want_links: bool = True,
     for s in spans:
         k = s["kind"]
         if k == "anchor":
-            text, region, rel = _split3(s["text"])
+            text, region, rel, target = _split4(s["text"])
             anchor_texts.append(text)
             href = s["media_ref"]
             idx = anchor_idx
@@ -431,10 +483,21 @@ def extract_all(url: str, spans, base_domain: str, *, want_links: bool = True,
                 parsed = urlparse(absolute)
                 # seo_extractor.py:225 link counting (javascript: excluded here)
                 if not href.startswith(_SPECIAL_COUNT_PREFIXES):
-                    if U.strip_www(parsed.netloc) == base_www:
+                    is_int_cnt = U.strip_www(parsed.netloc) == base_www
+                    if is_int_cnt:
                         internal_links += 1
                     else:
                         external_links += 1
+                    # seo_extractor.py:239-247 links_data (raw href/text,
+                    # rel tokens, target, exact-domain is_internal)
+                    links_data.append({
+                        "href": href,
+                        "absolute_url": absolute,
+                        "text": text.strip(),
+                        "rel": rel.split() if rel else [],
+                        "target": target,
+                        "is_internal": is_int_cnt,
+                    })
                 if want_links:
                     # collect_all_links (link_manager.py:120-199)
                     if "#" in absolute:
@@ -457,7 +520,7 @@ def extract_all(url: str, spans, base_domain: str, *, want_links: bool = True,
                             "is_internal": scope in ("root", "sub"),
                             "target_domain": tgt_netloc,
                             "placement": _PLACEMENT.get(region, "body"),
-                            "nofollow": rel == "nofollow",
+                            "nofollow": "nofollow" in rel.split(),
                             "scope": scope,
                         })
             if want_cands:
@@ -586,6 +649,7 @@ def extract_all(url: str, spans, base_domain: str, *, want_links: bool = True,
         "images": images,
         "internal_links": internal_links,
         "external_links": external_links,
+        "links_data": links_data,
         "hreflang": hreflang,
         "json_ld": [json.dumps(o, sort_keys=True, separators=(",", ":"))
                     for o in json_ld_objs],
@@ -605,6 +669,7 @@ def resolve_fetch(url: str, docs: dict, attempt: int = 0) -> dict:
     cur = url
     seen_chain = {url}
     hops = 0
+    rt_total = 0.0
     while True:
         spans = docs.get(cur)
         if spans is None and urlparse(cur).path == "":
@@ -612,23 +677,27 @@ def resolve_fetch(url: str, docs: dict, attempt: int = 0) -> dict:
             spans = docs.get(cur + "/")
         if spans is None:
             return {"error": "fetch failed", "status": 0, "final_url": cur,
-                    "chain": chain, "spans": None, "http": None}
+                    "chain": chain, "spans": None, "http": None, "rt_total": 0.0}
         http = parse_http(spans, attempt)
+        rt_total += http["rt"]
         if http["status"] in (301, 302, 303, 307, 308) and http["redirect"]:
             chain.append({"url": cur, "status_code": http["status"], "hop": len(chain) + 1})
             hops += 1
             nxt = http["redirect"]
             if hops > MAX_REDIRECTS or nxt in seen_chain:
                 return {"error": "too many redirects", "status": 0, "final_url": cur,
-                        "chain": chain, "spans": None, "http": None}
+                        "chain": chain, "spans": None, "http": None, "rt_total": 0.0}
             seen_chain.add(nxt)
             cur = nxt
             continue
         if chain:
             chain.append({"url": cur, "status_code": http["status"],
                           "hop": len(chain) + 1, "final": True})
+        # response_time = summed hop latency of this (final) attempt —
+        # the fixture analogue of crawler.py:1108's wall-clock ms
         return {"error": None, "status": http["status"], "final_url": cur,
-                "chain": chain, "spans": spans, "http": http}
+                "chain": chain, "spans": spans, "http": http,
+                "rt_total": rt_total}
 
 
 def retry_fetch(url: str, docs: dict, retries: int, base_delay: float):

@@ -218,13 +218,19 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     sh = shingle_sets(df, text_col, k).filter(F.size("shingles") > 0)
     inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     dfreq = inv.groupBy("shingle").agg(F.count("*").alias("df"))
-    hot = dfreq.filter(F.col("df") > max_df).select("shingle")
     log = logging.getLogger(__name__)
     if log.isEnabledFor(logging.INFO):
-        n_hot = hot.count()
+        # no-silent-caps logging without an extra explode+groupBy job:
+        # dfreq is pinned, the count materializes it, and the candidate
+        # join below reuses the cached frame (one dfreq computation
+        # total — previously the INFO path recomputed it)
+        dfreq = dfreq.persist()
+        n_hot = dfreq.filter(F.col("df") > max_df).count()
         if n_hot:
             log.info("ngram_jaccard_pairs: dropped %d shingles with df > %d "
                      "from the candidate index", n_hot, max_df)
+    # hot residue is tiny by construction -> broadcast anti-join
+    hot = dfreq.filter(F.col("df") > max_df).select("shingle")
     inv_cold = inv.join(hot, "shingle", "left_anti")
     a, b = inv_cold.alias("a"), inv_cold.alias("b")
     cand = (

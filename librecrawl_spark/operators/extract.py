@@ -32,6 +32,12 @@ LINK_STRUCT = (
     "nofollow: boolean, scope: string"
 )
 CAND_STRUCT = "clean_url: string, link_idx: int, signature: string, host: string"
+# seo_extractor.py:239-247 — the raw per-anchor link data the link/security
+# issue checks consume (distinct from LINK_STRUCT's report-graph rows)
+LINKS_DATA_STRUCT = (
+    "href: string, absolute_url: string, text: string, rel: array<string>, "
+    "target: string, is_internal: boolean"
+)
 CHAIN_STRUCT = "url: string, status_code: int, hop: int, final: boolean"
 
 PAGE_SCHEMA = (
@@ -58,6 +64,8 @@ PAGE_SCHEMA = (
     "gtm_id:string, facebook_pixel:boolean, hotjar:boolean, mixpanel:boolean>, "
     "schema_org array<struct<type:string, properties:map<string,string>>>, "
     "x_robots_tag string, "
+    "response_time double, response_headers map<string,string>, "
+    f"links_data array<struct<{LINKS_DATA_STRUCT}>>, "
     f"links array<struct<{LINK_STRUCT}>>, candidates array<struct<{CAND_STRUCT}>>"
 )
 
@@ -81,6 +89,8 @@ def http_meta(documents: DataFrame) -> DataFrame:
             F.coalesce(m["xrobots"], F.lit("")).alias("xrobots"),
             F.coalesce(m["recover_after"].cast("int"), F.lit(0)).alias("recover_after"),
             F.coalesce(m["recover_status"].cast("int"), F.lit(0)).alias("recover_status"),
+            F.coalesce(m["rt"].cast("double"), F.lit(0.0)).alias("rt"),
+            F.coalesce(m["hdr"], F.lit("")).alias("hdr"),
         )
     )
 
@@ -102,6 +112,7 @@ def resolve_redirects(meta: DataFrame) -> DataFrame:
         F.col("doc_id").alias("cur_id"),
         "status", "content_type", "size", "redirect", "retry_after", "xrobots",
         "recover_after", "recover_status",
+        F.col("rt").alias("rt_total"), "hdr",
         F.array().cast(f"array<struct<{CHAIN_STRUCT}>>").alias("chain"),
         F.lit(None).cast("string").alias("error"),
     )
@@ -128,6 +139,8 @@ def resolve_redirects(meta: DataFrame) -> DataFrame:
             F.col("xrobots").alias("_n_xr"),
             F.col("recover_after").alias("_n_rca"),
             F.col("recover_status").alias("_n_rcs"),
+            F.col("rt").alias("_n_rt"),
+            F.col("hdr").alias("_n_hdr"),
         )
         stepped = (
             moving.withColumn("chain", F.concat("chain", F.array(hop_entry)))
@@ -145,6 +158,8 @@ def resolve_redirects(meta: DataFrame) -> DataFrame:
             F.coalesce("_n_xr", F.lit("")).alias("xrobots"),
             F.coalesce("_n_rca", F.lit(0)).alias("recover_after"),
             F.coalesce("_n_rcs", F.lit(0)).alias("recover_status"),
+            (F.col("rt_total") + F.coalesce("_n_rt", F.lit(0.0))).alias("rt_total"),
+            F.coalesce("_n_hdr", F.lit("")).alias("hdr"),
             "chain",
             F.when(F.col("_n_id").isNull(), F.lit("fetch failed"))
             .when(loop | (F.size("chain") > MAX_REDIRECTS), F.lit("too many redirects"))
@@ -182,6 +197,9 @@ def resolve_redirects(meta: DataFrame) -> DataFrame:
         F.when(errored, F.lit(0)).otherwise(F.col("recover_after")).alias("recover_after"),
         F.when(errored, F.lit(0)).otherwise(F.col("recover_status")).alias("recover_status"),
         F.when(errored, F.lit("")).otherwise(F.col("xrobots")).alias("x_robots_tag"),
+        # crawler.py:1108/:1023 — errors produce create_empty_result shape
+        F.when(errored, F.lit(0.0)).otherwise(F.col("rt_total")).alias("response_time"),
+        F.when(errored, F.lit("")).otherwise(F.col("hdr")).alias("hdr"),
         F.when(errored | ~has_chain, F.col("chain"))
         .otherwise(F.concat("chain", F.array(final_entry)))
         .alias("redirect_chain"),
@@ -221,6 +239,8 @@ def join_fetch(frontier: DataFrame, fetch_map: DataFrame, documents: DataFrame) 
         F.coalesce("recover_after", F.lit(0)).alias("recover_after"),
         F.coalesce("recover_status", F.lit(0)).alias("recover_status"),
         F.coalesce("x_robots_tag", F.lit("")).alias("x_robots_tag"),
+        F.coalesce("response_time", F.lit(0.0)).alias("response_time"),
+        F.coalesce("hdr", F.lit("")).alias("hdr"),
         F.coalesce(
             "error",
             F.when(F.col("final_doc_id").isNull(), F.lit("fetch failed")),
@@ -296,6 +316,8 @@ _GATED = {
     ).otherwise(F.col("redirect_chain")).alias("redirect_chain"),
     "final_url": lambda g: F.when(g, F.lit(None).cast("string")).otherwise(F.col("final_url")).alias("final_url"),
     "recover_after": lambda g: F.when(g, F.lit(0)).otherwise(F.col("recover_after")).alias("recover_after"),
+    "response_time": lambda g: F.when(g, F.lit(0.0)).otherwise(F.col("response_time")).alias("response_time"),
+    "hdr": lambda g: F.when(g, F.lit("")).otherwise(F.col("hdr")).alias("hdr"),
     "spans": lambda g: F.when(g, F.lit(None).cast(_SPANS_TYPE)).otherwise(F.col("spans")).alias("spans"),
 }
 
@@ -420,6 +442,8 @@ def extract_pages(fetched: DataFrame, base_domain: str, *,
                     "redirect_chain": [dict(c) for c in r.redirect_chain],
                     "final_url": r.final_url,
                     "x_robots_tag": r.x_robots_tag if r.error is None else "",
+                    "response_time": r.response_time,
+                    "response_headers": S.headers_map(r.hdr),
                     **{k: page[k] for k in (
                         "title", "meta_description", "h1", "h1_list",
                         "headings_structure", "h2", "h3", "word_count",
@@ -430,6 +454,7 @@ def extract_pages(fetched: DataFrame, base_domain: str, *,
                         "has_website", "article_fields_ok",
                         "lang", "charset", "og_tags",
                         "twitter_tags", "analytics", "schema_org",
+                        "links_data",
                     )},
                     "links": links,
                     "candidates": cands,

@@ -397,6 +397,92 @@ def build_seen_bloom(seen: DataFrame, expected: int, fpp: float):
 # wave scheduling: dedup -> trap -> policy -> new frontier
 # --------------------------------------------------------------------------
 
+def policy_gate(df: DataFrame, hosts: DataFrame, base_domain: str,
+                config: CrawlConfig, host_rules: DataFrame | None = None,
+                *, url_col: str = "clean_url",
+                keep: tuple[str, ...] = ()) -> DataFrame:
+    """Append ``policy_ok`` (robots + scope + extension + patterns,
+    crawler.py:1425-1492) with the three-way native/hof/udf split:
+
+    - fast: quote-safe URL + <=1 robots rule => whole policy is codegen'd
+      column exprs (no regex, no lambda, no Python);
+    - hof:  quote-safe URL + multi-rule host => same exprs with the
+      interpreted array-lambda rule walk (small subset);
+    - udf:  everything else => Arrow policy UDF (exactness first).
+
+    ``df`` must carry ``url_col`` and ``host``; the output projects
+    (url_col, *keep, policy_ok). Shared by schedule_wave (per-wave hot
+    path) and the distributed sitemap bootstrap (once per crawl)."""
+    slim = (url_col, *keep, "policy_ok")
+    policy_udf = make_policy_udf(base_domain, config)
+    if _can_use_native_policy(config):
+        if host_rules is None:
+            host_rules = compile_robots_rules(hosts, config.user_agent)
+        j = df.join(
+            F.broadcast(host_rules.select(
+                "host", "rules", "allow_all", "disallow_all", "simple",
+                "rule1_prefix", "rule1_allow", "n_rules")),
+            "host", "left",
+        )
+        eligible, m, fast_ok = native_policy_exprs_fast(
+            F.col(url_col), base_domain, config
+        )
+        _, _, hof_ok = native_policy_exprs(F.col(url_col), base_domain, config)
+        single = (F.coalesce("n_rules", F.lit(0)) <= 1) if config.respect_robots \
+            else F.lit(True)
+        fast_part = (
+            j.filter(eligible & single)
+            .withColumn("policy_ok", fast_ok).select(*slim)
+        )
+        hof_part = (
+            j.filter(eligible & ~single).withColumn("_m_", m)
+            .withColumn("policy_ok", hof_ok).select(*slim)
+        )
+        udf_part = (
+            j.filter(~eligible)
+            .join(F.broadcast(hosts.select("host", "robots_txt")), "host", "left")
+            .withColumn("policy_ok", policy_udf(F.col(url_col), F.col("robots_txt")))
+            .select(*slim)
+        )
+        return fast_part.unionByName(hof_part).unionByName(udf_part)
+    return (
+        df.join(F.broadcast(hosts.select("host", "robots_txt")), "host", "left")
+        .withColumn("policy_ok", policy_udf(F.col(url_col), F.col("robots_txt")))
+        .select(*slim)
+    )
+
+
+def ordered_seq_by_key(df: DataFrame, key_col: str, start: int,
+                       out_col: str = "seq") -> DataFrame:
+    """Contiguous global sequence in ``key_col`` (string) order without a
+    single-partition window: range-repartition by the key, count rows per
+    (ordered, disjoint) partition, broadcast prefix-sum offsets, rank
+    within partitions in parallel. The string-key sibling of
+    add_global_seq (whose range bucketing needs a numeric lead)."""
+    spark = df.sparkSession
+    n_part = default_seq_buckets(spark)
+    d = df.repartitionByRange(n_part, F.col(key_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    ).persist()
+    counts = {r["_pid"]: r["count"] for r in d.groupBy("_pid").count().collect()}
+    if not counts:
+        d.unpersist()
+        return df.withColumn(out_col, F.lit(start).cast("long"))
+    offsets, acc = {}, start
+    for k in sorted(counts):
+        offsets[k] = acc
+        acc += counts[k]
+    odf = F.broadcast(
+        spark.createDataFrame(list(offsets.items()), schema="_pid int, _off long")
+    )
+    w = Window.partitionBy("_pid").orderBy(key_col)
+    return (
+        d.join(odf, "_pid")
+        .withColumn(out_col, (F.col("_off") + F.row_number().over(w) - 1).cast("long"))
+        .drop("_pid", "_off")
+    )
+
+
 def schedule_wave(
     candidates: DataFrame,
     seen: DataFrame,
@@ -496,44 +582,8 @@ def schedule_wave(
     # robots_txt/rules columns never hit storage, and the policy
     # evaluates exactly once per URL before the three downstream scans
     # read the cache.
-    slim = ("clean_url", "_p", "signature", "policy_ok")
-    policy_udf = make_policy_udf(base_domain, config)
-    if _can_use_native_policy(config):
-        if host_rules is None:
-            host_rules = compile_robots_rules(hosts, config.user_agent)
-        j = first.join(
-            F.broadcast(host_rules.select(
-                "host", "rules", "allow_all", "disallow_all", "simple",
-                "rule1_prefix", "rule1_allow", "n_rules")),
-            "host", "left",
-        )
-        eligible, m, fast_ok = native_policy_exprs_fast(
-            F.col("clean_url"), base_domain, config
-        )
-        _, _, hof_ok = native_policy_exprs(F.col("clean_url"), base_domain, config)
-        single = (F.coalesce("n_rules", F.lit(0)) <= 1) if config.respect_robots \
-            else F.lit(True)
-        fast_part = (
-            j.filter(eligible & single)
-            .withColumn("policy_ok", fast_ok).select(*slim)
-        )
-        hof_part = (
-            j.filter(eligible & ~single).withColumn("_m_", m)
-            .withColumn("policy_ok", hof_ok).select(*slim)
-        )
-        udf_part = (
-            j.filter(~eligible)
-            .join(F.broadcast(hosts.select("host", "robots_txt")), "host", "left")
-            .withColumn("policy_ok", policy_udf(F.col("clean_url"), F.col("robots_txt")))
-            .select(*slim)
-        )
-        first = fast_part.unionByName(hof_part).unionByName(udf_part).persist()
-    else:
-        first = (
-            first.join(F.broadcast(hosts.select("host", "robots_txt")), "host", "left")
-            .withColumn("policy_ok", policy_udf(F.col("clean_url"), F.col("robots_txt")))
-            .select(*slim).persist()
-        )
+    first = policy_gate(first, hosts, base_domain, config, host_rules,
+                        url_col="clean_url", keep=("_p", "signature")).persist()
     pre = first
 
     # 3. hot/cold signature split

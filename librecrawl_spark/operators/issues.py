@@ -248,6 +248,132 @@ def per_page_issues(pages: DataFrame) -> DataFrame:
         _mk(nofollow, "warning", "Indexability", "Directives: Nofollow",
             "Source: HTML Meta Tag"),
     ]
+    # reference gate: a status-0 result early-returns after the
+    # connection-failure row (issue_detector.py:29-40), so every family
+    # below only fires on live responses
+    live = status != 0
+
+    # social (issue_detector.py:653-674)
+    og = F.coalesce(F.col("og_tags"), F.expr("map()"))
+    tw = F.coalesce(F.col("twitter_tags"), F.expr("map()"))
+    checks += [
+        _mk(live & (F.size(og) == 0), "info", "Social", "Missing OpenGraph Tags",
+            "Page has no OpenGraph tags for social sharing"),
+        _mk(live & (F.size(tw) == 0), "info", "Social", "Missing Twitter Card Tags",
+            "Page has no Twitter Card tags"),
+    ]
+
+    # URL structure (issue_detector.py:1037-1079) — path is the raw
+    # (case-preserving) urlparse().path: scheme://host stripped, ?# cut
+    raw_path = F.regexp_replace(F.regexp_replace(url, r"^https?://[^/?#]*", ""), r"[?#].*$", "")
+    path_parts = F.expr(
+        "filter(split(regexp_replace(regexp_replace(url, '^https?://[^/?#]*', ''),"
+        " '[?#].*$', ''), '/'), x -> x != '')"
+    )
+    checks += [
+        _mk(live & (F.length(url) > 115), "info", "URL", "URL: Over 115 Characters",
+            F.concat(F.lit("URL is "), F.length(url).cast("string"),
+                     F.lit(" characters long"))),
+        _mk(live & raw_path.contains("_"), "info", "URL", "URL: Underscores",
+            "URL contains underscores (use hyphens instead)"),
+        _mk(live & url.contains("?"), "info", "URL", "URL: Parameters",
+            "URL contains query parameters"),
+        _mk(live & (F.size(path_parts) != F.size(F.array_distinct(path_parts))),
+            "info", "URL", "URL: Repetitive Path",
+            "URL path contains duplicate segments"),
+    ]
+
+    # performance (issue_detector.py:849-871)
+    rt = (F.coalesce(F.col("response_time"), F.lit(0.0))
+          if "response_time" in pages.columns else F.lit(0.0))
+    psize = F.coalesce(F.col("size"), F.lit(0))
+    checks += [
+        _mk(live & (rt > 3000), "error", "Performance", "Slow Response Time",
+            F.concat(F.lit("Page took "), rt.cast("string"),
+                     F.lit("ms to respond (recommended: <3000ms)"))),
+        _mk(live & (psize > 3 * 1024 * 1024), "error", "Performance", "Large Page Size",
+            F.concat(F.lit("Page size is "),
+                     F.format_string("%.1f", psize / F.lit(1024.0) / F.lit(1024.0)),
+                     F.lit("MB (recommended: <3MB)"))),
+    ]
+
+    # links (issue_detector.py:1081-1151) — per-page aggregations over the
+    # links_data array via higher-order filters: no explode, no shuffle
+    if "links_data" in pages.columns:
+        ld = F.coalesce(
+            F.col("links_data"),
+            F.expr("cast(array() as array<struct<href:string, absolute_url:string,"
+                   " text:string, rel:array<string>, target:string,"
+                   " is_internal:boolean>>)"),
+        )
+        ext_out = F.coalesce(F.col("external_links"), F.lit(0))
+        n_nofollow = F.size(F.filter(
+            ld, lambda l: l["is_internal"] & F.array_contains(l["rel"], "nofollow")))
+        n_empty = F.size(F.filter(ld, lambda l: l["text"] == ""))
+        generic = F.array(*[F.lit(g) for g in
+                            ("click here", "read more", "more", "here",
+                             "link", "this", "go")])
+        n_generic = F.size(F.filter(
+            ld,
+            lambda l: l["is_internal"]
+            & F.array_contains(generic, F.lower(F.trim(l["text"]))),
+        ))
+        checks += [
+            _mk(live & (ext_out > 50), "info", "Links",
+                "Links: Pages With High External Outlinks",
+                F.concat(F.lit("Page has "), ext_out.cast("string"),
+                         F.lit(" external links"))),
+            _mk(live & (n_nofollow > 0), "info", "Links",
+                "Links: Internal Nofollow Outlinks",
+                F.concat(n_nofollow.cast("string"),
+                         F.lit(" internal links are marked nofollow"))),
+            # reference counts ALL empty-text links despite the
+            # "Internal" in the issue name (issue_detector.py:1112-1118);
+            # the stored links_data has no aria-label key, so that branch
+            # of the guard is vacuously true
+            _mk(live & (n_empty > 0), "warning", "Links",
+                "Links: Internal Outlinks With No Anchor Text",
+                F.concat(n_empty.cast("string"), F.lit(" links have no anchor text"))),
+            _mk(live & (n_generic > 0), "warning", "Links",
+                "Links: Non-Descriptive Anchor Text",
+                F.concat(n_generic.cast("string"),
+                         F.lit(' links use generic text like "click here"'))),
+        ]
+
+        # security, per-page part (issue_detector.py:1250-1298): mixed
+        # content + protocol-relative resources on https pages. (Images'
+        # protocol-relative srcs are absolutized at extraction, so only
+        # links_data hrefs can trip the second check — same dead branch
+        # as the reference.)
+        imgs = F.coalesce(F.col("images"), F.expr(
+            "cast(array() as array<struct<src:string, alt:string,"
+            " width:string, height:string>>)"))
+        mixed = F.transform(
+            F.filter(imgs, lambda i: i["src"].startswith("http://")),
+            lambda i: F.concat(F.lit("Image: "), i["src"]),
+        )
+        n_mixed = F.size(mixed)
+        mixed_details = F.concat(
+            F.lit("Secure page loads insecure (HTTP) assets: "),
+            F.array_join(F.slice(mixed, 1, 5), ", "),
+            F.when(n_mixed > 5,
+                   F.concat(F.lit(", and "), (n_mixed - 5).cast("string"),
+                            F.lit(" more"))).otherwise(F.lit("")),
+        )
+        n_proto_rel = (
+            F.size(F.filter(imgs, lambda i: i["src"].startswith("//")))
+            + F.size(F.filter(ld, lambda l: l["href"].startswith("//")))
+        )
+        is_https = url.startswith("https://")
+        checks += [
+            _mk(live & is_https & (n_mixed > 0), "error", "Security",
+                "Security: Mixed Content", mixed_details),
+            _mk(live & is_https & (n_proto_rel > 0), "warning", "Security",
+                "Security: Protocol-Relative Resource Links",
+                F.concat(n_proto_rel.cast("string"),
+                         F.lit(" resources use protocol-relative URLs (//)."
+                               " Use explicit HTTPS instead."))),
+        ]
     # structured data (issue_detector.py:675-852) — the schema analysis
     # (recursive @type walk, FAQ count, org/website flags) runs once in
     # the extraction pass; here the checks stay pure column expressions.
@@ -284,6 +410,99 @@ def per_page_issues(pages: DataFrame) -> DataFrame:
     return (
         pages.select(url.alias("url"), F.explode(arr).alias("i"))
         .select("url", "i.*")
+    )
+
+
+def security_header_issues(pages: DataFrame) -> DataFrame:
+    """Site-wide security-header checks (issue_detector.py:1186-1247):
+    Missing CSP / HSTS / X-Frame-Options, reported ONCE per domain (the
+    reference's reported_sitewide_issues set), attributed to the domain's
+    first crawled page in fetch order and emitted as scheme://domain.
+
+    Scale shape: one groupBy(domain) with min_by — no window, no
+    all-pages shuffle beyond the single keyed aggregation."""
+    hm = F.coalesce(F.col("response_headers"), F.expr("map()"))
+    live = F.col("status_code") != 0
+    domain = F.regexp_extract("url", r"^https?://([^/]*)", 1)
+    scheme = F.regexp_extract("url", r"^(https?)://", 1)
+    base = (
+        pages.filter(live)
+        .select(
+            "url", "wave", "seq", domain.alias("domain"), scheme.alias("scheme"),
+            (~F.map_contains_key(hm, "content-security-policy")).alias("miss_csp"),
+            (F.col("url").startswith("https://")
+             & ~F.map_contains_key(hm, "strict-transport-security")).alias("miss_hsts"),
+            (~F.map_contains_key(hm, "x-frame-options")).alias("miss_xfo"),
+        )
+    )
+    rows = []
+    for flag, typ, issue, details in (
+        ("miss_csp", "info", "Security: Missing Content-Security-Policy",
+         "Server does not send Content-Security-Policy header. "
+         "This is a site-wide configuration issue."),
+        ("miss_hsts", "warning", "Security: Missing HSTS Header",
+         "HTTP Strict Transport Security (HSTS) is not enabled. "
+         "Users effectively can be downgraded to HTTP."),
+        ("miss_xfo", "info", "Security: Missing X-Frame-Options",
+         "Missing X-Frame-Options header can leave the site vulnerable "
+         "to Clickjacking."),
+    ):
+        rows.append(
+            base.filter(F.col(flag))
+            .groupBy("domain")
+            .agg(F.min_by("scheme", F.struct("wave", "seq")).alias("scheme"))
+            .select(
+                F.concat("scheme", F.lit("://"), "domain").alias("url"),
+                F.lit(typ).alias("type"),
+                F.lit("Security").alias("category"),
+                F.lit(issue).alias("issue"),
+                F.lit(details).alias("details"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def unsafe_cross_origin_issues(pages: DataFrame) -> DataFrame:
+    """Links: Unsafe Cross-Origin (issue_detector.py:1153-1184): external
+    links opening in _blank without rel=noopener/noreferrer, reported
+    once per EXTERNAL domain site-wide, attributed to the first page (in
+    fetch order) where the domain was seen. Domain parses from the RAW
+    href like the reference's urlparse(href).netloc — relative hrefs
+    yield '' and are skipped."""
+    ld = F.coalesce(
+        F.col("links_data"),
+        F.expr("cast(array() as array<struct<href:string, absolute_url:string,"
+               " text:string, rel:array<string>, target:string,"
+               " is_internal:boolean>>)"),
+    )
+    unsafe = F.filter(
+        ld,
+        lambda l: (l["target"] == "_blank") & ~l["is_internal"]
+        & ~F.array_contains(l["rel"], "noopener")
+        & ~F.array_contains(l["rel"], "noreferrer"),
+    )
+    dom = F.regexp_extract(F.col("l")["href"], r"^(?:https?:)?//([^/]*)", 1)
+    return (
+        pages.filter(F.col("status_code") != 0)
+        .select("url", "wave", "seq", F.explode(unsafe).alias("l"))
+        .select("url", "wave", "seq", dom.alias("domain"))
+        .filter(F.col("domain") != "")
+        .groupBy("domain")
+        .agg(F.min_by("url", F.struct("wave", "seq")).alias("url"))
+        .select(
+            "url",
+            F.lit("info").alias("type"),
+            F.lit("Security").alias("category"),
+            F.lit("Security: Unsafe Cross-Origin Links").alias("issue"),
+            F.concat(
+                F.lit("External domain "), F.col("domain"),
+                F.lit(' opens in new tab without rel="noopener" '
+                      "(Best practice recommendation)"),
+            ).alias("details"),
+        )
     )
 
 

@@ -46,6 +46,25 @@ def parse_image_header(payload) -> tuple[str, int, int] | None:
     if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
         w, h = struct.unpack("<HH", b[6:10])
         return ("image/gif", w, h)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP" and len(b) >= 30:
+        # WebP (RIFF): VP8 lossy (sync 9D 01 2A, 14-bit dims), VP8L
+        # lossless (sig 0x2F, packed 14-bit dims-1), VP8X extended
+        # (24-bit LE canvas dims-1)
+        fourcc = b[12:16]
+        if fourcc == b"VP8 " and b[23:26] == b"\x9d\x01\x2a":
+            w = struct.unpack("<H", b[26:28])[0] & 0x3FFF
+            h = struct.unpack("<H", b[28:30])[0] & 0x3FFF
+            return ("image/webp", w, h)
+        if fourcc == b"VP8L" and b[20] == 0x2F:
+            bits = int.from_bytes(b[21:25], "little")
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            return ("image/webp", w, h)
+        if fourcc == b"VP8X":
+            w = int.from_bytes(b[24:27], "little") + 1
+            h = int.from_bytes(b[27:30], "little") + 1
+            return ("image/webp", w, h)
+        return None
     if b[:2] == b"\xff\xd8":
         i, n = 2, len(b)
         while i + 9 <= n:
@@ -226,6 +245,9 @@ def parse_audio_header(payload) -> tuple[str, int, int, int] | None:
             dur = int(data_size * 1000 / byte_rate) if (data_size and byte_rate) else 0
             return ("audio/wav", rate, ch, dur)
         return None
+    mp3 = _parse_mp3(b)
+    if mp3 is not None:
+        return mp3
     if b[:4] == b"fLaC" and len(b) >= 8 + 18:
         # first metadata block must be STREAMINFO (34 bytes); the packed
         # 8 bytes at offset 10 within it: sr(20) ch(3) bps(5) total(36)
@@ -238,6 +260,75 @@ def parse_audio_header(payload) -> tuple[str, int, int, int] | None:
             return None
         return ("audio/flac", rate, ch, int(total * 1000 / rate))
     return None
+
+
+# MPEG1 Layer III bitrate (kbps) / sample-rate tables (spec constants)
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                 160, 192, 224, 256, 320)
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def _parse_mp3(b: bytes):
+    """MP3 header walk, stdlib only: skip an ID3v2 tag (syncsafe size),
+    parse the first MPEG1 Layer III frame header for rate/channels, and
+    estimate duration from the CBR bitrate over the audio byte span —
+    the standard header-only estimate (no codec)."""
+    off = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        size = ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14) \
+            | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
+        off = 10 + size
+    if off + 4 > len(b) or b[off] != 0xFF or (b[off + 1] & 0xE0) != 0xE0:
+        return None
+    h1, h2, h3 = b[off + 1], b[off + 2], b[off + 3]
+    version = (h1 >> 3) & 0x3    # 3 = MPEG1
+    layer = (h1 >> 1) & 0x3      # 1 = Layer III
+    if version != 3 or layer != 1:
+        return None              # only MPEG1 Layer III modeled
+    bitrate_idx = (h2 >> 4) & 0xF
+    rate_idx = (h2 >> 2) & 0x3
+    if bitrate_idx in (0, 15) or rate_idx == 3:
+        return None
+    rate = _MP3_RATES[rate_idx]
+    channels = 1 if ((h3 >> 6) & 0x3) == 3 else 2
+    kbps = _MP3_BITRATES[bitrate_idx]
+    dur = int((len(b) - off) * 8 / (kbps * 1000) * 1000)
+    return ("audio/mpeg", rate, channels, dur)
+
+
+def make_test_mp3(sample_rate: int = 44100, kbps: int = 128,
+                  channels: int = 1, n_frames: int = 10,
+                  id3: bytes = b"") -> bytes:
+    """Valid CBR MPEG1 Layer III byte stream: optional ID3v2 tag +
+    n_frames correctly-sized frames (header + zero payload)."""
+    rate_idx = _MP3_RATES.index(sample_rate)
+    bitrate_idx = _MP3_BITRATES.index(kbps)
+    mode = 3 if channels == 1 else 0
+    hdr = bytes([
+        0xFF,
+        0xE0 | (3 << 3) | (1 << 1),             # MPEG1, Layer III
+        (bitrate_idx << 4) | (rate_idx << 2),   # no padding
+        mode << 6,
+    ])
+    frame_len = 144 * kbps * 1000 // sample_rate
+    frame = hdr + b"\x00" * (frame_len - 4)
+    tag = b""
+    if id3:
+        size = len(id3)
+        ss = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                    (size >> 7) & 0x7F, size & 0x7F])
+        tag = b"ID3\x04\x00\x00" + ss + id3
+    return tag + frame * n_frames
+
+
+def make_test_webp_vp8l(width: int, height: int) -> bytes:
+    """Valid WebP/VP8L header prefix (RIFF + VP8L signature + packed
+    14-bit dims) — enough for header parsing, no codec payload."""
+    bits = (width - 1) | ((height - 1) << 14)
+    payload = b"\x2f" + bits.to_bytes(4, "little")
+    chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    riff_size = 4 + len(chunk)
+    return b"RIFF" + riff_size.to_bytes(4, "little") + b"WEBP" + chunk + b"\x00" * 8
 
 
 def make_test_wav(sample_rate: int = 8000, channels: int = 1,

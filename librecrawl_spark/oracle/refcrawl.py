@@ -140,6 +140,7 @@ class ReferenceCrawlOracle:
                     "error": f"File too large: {head['http']['size']} bytes",
                     "redirect_count": 0, "redirects": [], "redirect_chain": [],
                     "x_robots_tag": "", "retry_count": 0, "backoff_total": 0.0,
+                    "response_time": 0.0, "response_headers": {},
                 }
                 result.update(spandoc.extract_page(url, [], self.base_domain))
                 result["word_count"] = 0
@@ -155,6 +156,7 @@ class ReferenceCrawlOracle:
                 "redirect_count": 0, "redirects": [], "redirect_chain": [],
                 "x_robots_tag": "", "retry_count": retry_count,
                 "backoff_total": backoff_total,
+                "response_time": 0.0, "response_headers": {},
             }
             result.update({k: v for k, v in spandoc.extract_page(url, [], self.base_domain).items()})
             result["word_count"] = 0
@@ -177,6 +179,10 @@ class ReferenceCrawlOracle:
             "x_robots_tag": http["xrobots"],
             "retry_count": retry_count,
             "backoff_total": backoff_total,
+            # crawler.py:1108 / :1023 — final attempt's summed hop latency
+            # + final response's security headers (lowercased)
+            "response_time": fetch["rt_total"],
+            "response_headers": spandoc.headers_map(http["hdr"]),
         }
         spans = fetch["spans"]
         if "text/html" in http["content_type"]:

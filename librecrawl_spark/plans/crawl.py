@@ -145,10 +145,53 @@ class CrawlEngine:
         return out
 
     # ------------------------------------------------------------------ state
+    # sitemaps above this body size (or any nested sitemapindex) bootstrap
+    # through the DISTRIBUTED path — a 5M-loc sitemap tree must never
+    # run a per-loc Python loop on the driver
+    BOOTSTRAP_DRIVER_MAX_BYTES = 512 * 1024
+
+    def _sitemap_bootstrap_df(self) -> DataFrame | None:
+        """Distributed sitemap bootstrap: (url, okey) of policy-passed
+        page URLs in recursive_locs' depth-first document order, or None
+        to route through the small-N driver loop (_bootstrap_urls).
+
+        Scale path for item crawler.py:269,362-381 at 5M-URL sitemaps:
+        parse (Arrow batches) -> policy_gate (the wave's native/hof/udf
+        split) -> ordered_seq_by_key; the driver never sees a URL."""
+        if not self.config.discover_sitemaps:
+            return None
+        rows = self.hosts.filter(F.col("host") == self.base_domain).select(
+            "sitemap_xml").collect()
+        if not rows or not rows[0]["sitemap_xml"]:
+            return None
+        body = rows[0]["sitemap_xml"]
+        if "<sitemapindex" not in body and len(body) <= self.BOOTSTRAP_DRIVER_MAX_BYTES:
+            return None  # small flat urlset: the driver loop is cheaper
+        from librecrawl_spark.sources.sitemap import discover_sitemap_page_urls_ordered
+
+        spark = self.spark
+        base_hosts = self.hosts.filter(F.col("host") == self.base_domain).select(
+            "host", "sitemap_xml")
+        body_lookup = None
+        if self.sitemap_bodies:
+            # nested-sitemap fetch stand-in; at real scale this is a
+            # (sitemap_url, body) table, not a driver dict
+            body_lookup = spark.createDataFrame(
+                list(self.sitemap_bodies.items()),
+                schema="sitemap_url string, sitemap_xml string",
+            )
+        pages = discover_sitemap_page_urls_ordered(base_hosts, body_lookup)
+        urls = pages.select("url", "okey").withColumn("host", FR.host_of(F.col("url")))
+        gated = FR.policy_gate(urls, self.hosts, self.base_domain, self.config,
+                               url_col="url", keep=("okey",))
+        return gated.filter("policy_ok").select("url", "okey")
+
     def _fresh_state(self) -> dict:
         spark = self.spark
+        sm = self._sitemap_bootstrap_df()
         seed_rows, seed_seen = [], set()
-        for u in self._bootstrap_urls():
+        seed_urls = self.seed_urls if sm is not None else self._bootstrap_urls()
+        for u in seed_urls:
             if u not in seed_seen:
                 seed_seen.add(u)
                 seed_rows.append((u, 0, len(seed_rows), 0))
@@ -157,6 +200,22 @@ class CrawlEngine:
             schema="url string, depth int, seq long, wave int, "
                    "retry_count int, ready_wave int",
         )
+        next_seq = len(seed_rows)
+        if sm is not None:
+            # distributed continuation of the seed list: dedup keep-first
+            # in document order (okey is prefix-free, so lexicographic
+            # min == first occurrence in the depth-first traversal), then
+            # contiguous seq after the explicit seeds
+            extra = (
+                sm.join(pending.select("url"), "url", "left_anti")
+                .groupBy("url").agg(F.min("okey").alias("okey"))
+            )
+            extra = FR.ordered_seq_by_key(extra, "okey", start=next_seq).select(
+                "url", F.lit(0).alias("depth"), "seq", F.lit(0).alias("wave"),
+                F.lit(0).alias("retry_count"), F.lit(0).alias("ready_wave"),
+            )
+            pending = pending.unionByName(extra).persist()
+            next_seq = pending.count()
         return {
             "pending": pending,
             "seen": self._with_hash(pending.select("url", "depth", "seq")),
@@ -165,7 +224,7 @@ class CrawlEngine:
                 [], schema="signature string, example_url string, hits long, first_wave int"
             ),
             "crawled": 0,
-            "next_seq": len(seed_rows),
+            "next_seq": next_seq,
             "wave": 0,
         }
 

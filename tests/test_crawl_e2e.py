@@ -52,7 +52,8 @@ def test_page_extraction_fields(both):
             "internal_links", "external_links", "redirect_count", "redirects",
             "json_ld_count", "json_ld", "error", "lang", "charset", "x_robots_tag",
             "schema_types", "faq_count", "has_organization", "has_website",
-            "article_fields_ok", "retry_count", "backoff_total"]
+            "article_fields_ok", "retry_count", "backoff_total",
+            "response_time"]
     got = {r["url"]: r.asDict() for r in engine.pages.select(*cols).collect()}
     assert set(got) == {p["url"] for p in oracle["pages"]}
     for p in oracle["pages"]:
@@ -65,7 +66,8 @@ def test_nested_fields(both):
     oracle, engine = both
     got = {r["url"]: r for r in engine.pages.select(
         "url", "headings_structure", "images", "hreflang", "redirect_chain",
-        "og_tags", "twitter_tags", "analytics", "schema_org", "ai_ready").collect()}
+        "og_tags", "twitter_tags", "analytics", "schema_org", "ai_ready",
+        "response_headers", "links_data").collect()}
     for p in oracle["pages"]:
         g = got[p["url"]]
         assert [dict(h.asDict()) for h in g["headings_structure"]] == p["headings_structure"]
@@ -77,6 +79,9 @@ def test_nested_fields(both):
         assert [{"type": x["type"], "properties": dict(x["properties"] or {})}
                 for x in g["schema_org"]] == p["schema_org"]
         assert [dict(a.asDict()) for a in g["ai_ready"]] == p["ai_ready"]
+        assert dict(g["response_headers"] or {}) == p["response_headers"]
+        assert [dict(l.asDict(), rel=list(l["rel"])) for l in g["links_data"]] \
+            == p["links_data"], p["url"]
         chain = [
             {k: v for k, v in c.asDict().items() if not (k == "final" and not v)}
             for c in g["redirect_chain"]
@@ -198,3 +203,74 @@ class TestSitemapBootstrap:
         ).run(seeds)
         assert [u for u, d in oracle["seen"] if d == 0] == \
                [u for u, d in flat["seen"] if d == 0]
+
+
+def test_large_sitemap_distributed_bootstrap(spark):
+    """A >10k-loc sitemap routes through the DISTRIBUTED bootstrap
+    (discover_sitemap_page_urls_ordered + policy_gate + ordered seq) and
+    produces byte-identical seed ordering to the driver-loop
+    transcription of crawler.py:362-381 — dedup keep-first, policy
+    (robots + scope + extension) applied per loc, document order."""
+    import urllib.robotparser
+
+    from librecrawl_spark.config import CrawlConfig
+    from librecrawl_spark.functions import urls as U
+    from librecrawl_spark.plans.crawl import CrawlEngine
+
+    n = 12_000
+    locs = []
+    for i in range(n):
+        if i % 97 == 13:
+            u = f"https://big.example/private/p{i}"      # robots-disallowed
+        elif i % 61 == 7:
+            u = f"https://other.example/x{i}"            # external -> dropped
+        elif i % 53 == 11:
+            u = f"https://big.example/img{i}.png"        # excluded extension
+        elif i % 41 == 5:
+            u = "https://big.example/dup"                # duplicates
+        else:
+            u = f"https://big.example/page/{i}"
+        locs.append(u)
+    body = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        + "".join(f"<url><loc>{u}</loc></url>" for u in locs)
+        + "</urlset>"
+    )
+    robots = "User-agent: *\nDisallow: /private/"
+    hosts = spark.createDataFrame(
+        [("big.example", robots, 0.0, body)],
+        schema="host string, robots_txt string, crawl_delay double, sitemap_xml string",
+    )
+    docs = spark.createDataFrame(
+        [], schema="doc_id string, spans array<struct<kind:string,text:string,"
+                   "media_ref:string,offset:int>>")
+    cfg = CrawlConfig(discover_sitemaps=True)
+    eng = CrawlEngine(spark, docs, hosts, "https://big.example", cfg,
+                      seed_urls=["https://big.example/"])
+    assert eng._sitemap_bootstrap_df() is not None, "must route distributed"
+    st = eng._fresh_state()
+    got = [(r["url"], r["seq"]) for r in st["pending"].orderBy("seq").collect()]
+
+    rp = urllib.robotparser.RobotFileParser()
+    rp.parse(robots.splitlines())
+    expected = ["https://big.example/"]
+    seen = set(expected)
+    c = eng.config
+    for u in locs:
+        if u in seen:
+            continue
+        if U.should_crawl(
+            u, "big.example",
+            crawl_external=c.crawl_external, crawl_subdomains=c.crawl_subdomains,
+            include_extensions=tuple(c.include_extensions),
+            exclude_extensions=tuple(c.exclude_extensions),
+            include_patterns=tuple(c.include_patterns),
+            exclude_patterns=tuple(c.exclude_patterns),
+            robots_allows=(lambda x: rp.can_fetch(c.user_agent, x)),
+        ):
+            seen.add(u)
+            expected.append(u)
+    assert len(expected) > 10_000
+    assert got == list(zip(expected, range(len(expected))))
+    assert st["next_seq"] == len(expected)

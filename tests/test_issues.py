@@ -222,3 +222,159 @@ def test_xml_export(spark, pages, tmp_path):
     entries = list(root)
     assert len(entries) == pg.count()
     assert entries[0].find("url") is not None
+
+
+# --- round-3 families: Social / URL / Performance / Links / Security -------
+
+_NEW_FAMILY_ISSUES = (
+    "Missing OpenGraph Tags", "Missing Twitter Card Tags",
+    "URL: Over 115 Characters", "URL: Underscores", "URL: Parameters",
+    "URL: Repetitive Path", "Slow Response Time", "Large Page Size",
+    "Links: Pages With High External Outlinks",
+    "Links: Internal Nofollow Outlinks",
+    "Links: Internal Outlinks With No Anchor Text",
+    "Links: Non-Descriptive Anchor Text",
+    "Security: Mixed Content", "Security: Protocol-Relative Resource Links",
+)
+
+
+def test_new_families_match_transcription(pages):
+    """Per-page Social/URL/Performance/Links/Security checks vs a direct
+    Python transcription of issue_detector.py:653-674, 1037-1151,
+    1250-1298 over the same page rows."""
+    from urllib.parse import urlparse
+
+    pg, _ = pages
+    rows = pg.select(
+        "url", "status_code", "og_tags", "twitter_tags", "size",
+        "response_time", "external_links", "links_data", "images",
+    ).collect()
+    generic = ("click here", "read more", "more", "here", "link", "this", "go")
+    expected = set()
+    for r in rows:
+        if r["status_code"] == 0:
+            continue
+        url = r["url"]
+        if not dict(r["og_tags"] or {}):
+            expected.add((url, "Missing OpenGraph Tags"))
+        if not dict(r["twitter_tags"] or {}):
+            expected.add((url, "Missing Twitter Card Tags"))
+        path = urlparse(url).path
+        if len(url) > 115:
+            expected.add((url, "URL: Over 115 Characters"))
+        if "_" in path:
+            expected.add((url, "URL: Underscores"))
+        if "?" in url:
+            expected.add((url, "URL: Parameters"))
+        parts = [p for p in path.split("/") if p]
+        if len(parts) != len(set(parts)):
+            expected.add((url, "URL: Repetitive Path"))
+        if (r["response_time"] or 0) > 3000:
+            expected.add((url, "Slow Response Time"))
+        if (r["size"] or 0) > 3 * 1024 * 1024:
+            expected.add((url, "Large Page Size"))
+        if (r["external_links"] or 0) > 50:
+            expected.add((url, "Links: Pages With High External Outlinks"))
+        ld = [l.asDict() for l in (r["links_data"] or [])]
+        if any(l["is_internal"] and "nofollow" in list(l["rel"]) for l in ld):
+            expected.add((url, "Links: Internal Nofollow Outlinks"))
+        if any(l["text"].lower().strip() == "" for l in ld):
+            expected.add((url, "Links: Internal Outlinks With No Anchor Text"))
+        if any(l["is_internal"] and l["text"].lower().strip() in generic for l in ld):
+            expected.add((url, "Links: Non-Descriptive Anchor Text"))
+        if url.startswith("https://"):
+            imgs = [i.asDict() for i in (r["images"] or [])]
+            if any(i["src"].startswith("http://") for i in imgs):
+                expected.add((url, "Security: Mixed Content"))
+            if any(i["src"].startswith("//") for i in imgs) \
+                    or any(l["href"].startswith("//") for l in ld):
+                expected.add((url, "Security: Protocol-Relative Resource Links"))
+    got = {
+        (r["url"], r["issue"])
+        for r in I.per_page_issues(pg).collect()
+        if r["issue"] in _NEW_FAMILY_ISSUES
+    }
+    assert got == expected
+    # the fixture must actually reach the families
+    fired = {i for _, i in got}
+    for must in ("Missing OpenGraph Tags", "URL: Parameters",
+                 "Security: Mixed Content",
+                 "Links: Internal Outlinks With No Anchor Text"):
+        assert must in fired, f"fixture never fires {must}"
+
+
+def test_sitewide_security_match_transcription(pages):
+    """security_header_issues + unsafe_cross_origin_issues vs the
+    reference's sequential reported_sitewide_issues loop
+    (issue_detector.py:1153-1247) replayed in fetch order."""
+    from urllib.parse import urlparse
+
+    pg, _ = pages
+    rows = pg.orderBy("wave", "seq").collect()
+    reported, expected = set(), set()
+    for r in rows:
+        if r["status_code"] == 0:
+            continue
+        url = r["url"]
+        hdrs = dict(r["response_headers"] or {})
+        p = urlparse(url)
+        for hdr_name, key, issue in (
+            ("content-security-policy", "missing_csp",
+             "Security: Missing Content-Security-Policy"),
+            ("strict-transport-security", "missing_hsts",
+             "Security: Missing HSTS Header"),
+            ("x-frame-options", "missing_xfo",
+             "Security: Missing X-Frame-Options"),
+        ):
+            if key == "missing_hsts" and not url.startswith("https://"):
+                continue
+            if hdr_name not in hdrs and (p.netloc, key) not in reported:
+                reported.add((p.netloc, key))
+                expected.add((f"{p.scheme}://{p.netloc}", issue))
+        for l in (r["links_data"] or []):
+            if l["target"] == "_blank" and not l["is_internal"] \
+                    and "noopener" not in list(l["rel"]) \
+                    and "noreferrer" not in list(l["rel"]):
+                d = urlparse(l["href"]).netloc
+                if d and (d, "unsafe_cross_origin") not in reported:
+                    reported.add((d, "unsafe_cross_origin"))
+                    expected.add((url, "Security: Unsafe Cross-Origin Links"))
+    got = {
+        (r["url"], r["issue"])
+        for r in I.security_header_issues(pg)
+        .unionByName(I.unsafe_cross_origin_issues(pg)).collect()
+    }
+    assert got == expected
+    # crawl_external=False keeps the crawl on site0 (which sends all
+    # three headers), so the missing-header rows are exercised by the
+    # unit test below; this fixture reliably reaches unsafe _blank links
+    assert any(i == "Security: Unsafe Cross-Origin Links" for _, i in got)
+
+
+def test_security_header_issues_unit(spark):
+    """Missing CSP/HSTS/XFO site-wide rows: once per domain, attributed
+    scheme://domain, HSTS only on https, status-0 pages ignored."""
+    rows = [
+        # d1: missing all three, two pages (dedup to one row per check)
+        ("https://d1.example/a", 0, 1, 200, {}),
+        ("https://d1.example/b", 0, 2, 200, {}),
+        # d2: has all three
+        ("https://d2.example/a", 0, 3, 200,
+         {"content-security-policy": "x", "strict-transport-security": "x",
+          "x-frame-options": "x"}),
+        # d3: http page — HSTS check skipped, CSP/XFO still fire
+        ("http://d3.example/a", 0, 4, 200, {}),
+        # d4: only dead page — no rows at all
+        ("https://d4.example/a", 0, 5, 0, {}),
+    ]
+    pg = spark.createDataFrame(
+        rows, "url string, wave int, seq long, status_code int, "
+              "response_headers map<string,string>")
+    got = {(r["url"], r["issue"]) for r in I.security_header_issues(pg).collect()}
+    assert got == {
+        ("https://d1.example", "Security: Missing Content-Security-Policy"),
+        ("https://d1.example", "Security: Missing HSTS Header"),
+        ("https://d1.example", "Security: Missing X-Frame-Options"),
+        ("http://d3.example", "Security: Missing Content-Security-Policy"),
+        ("http://d3.example", "Security: Missing X-Frame-Options"),
+    }

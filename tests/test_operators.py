@@ -173,6 +173,22 @@ class TestMultimodal:
         assert parse_image_header(b"not an image") is None
         assert parse_image_header(b"") is None
 
+    def test_webp_header_parse_pure(self):
+        from librecrawl_spark.operators.multimodal import (
+            make_test_webp_vp8l, parse_image_header)
+
+        assert parse_image_header(make_test_webp_vp8l(320, 200)) == ("image/webp", 320, 200)
+        assert parse_image_header(make_test_webp_vp8l(1, 1)) == ("image/webp", 1, 1)
+        assert parse_image_header(make_test_webp_vp8l(16383, 16383)) \
+            == ("image/webp", 16383, 16383)
+        # VP8X extended header: 24-bit LE canvas dims minus one
+        vp8x = (b"RIFF" + (22).to_bytes(4, "little") + b"WEBP"
+                + b"VP8X" + (10).to_bytes(4, "little")
+                + b"\x00" * 4 + (639).to_bytes(3, "little") + (479).to_bytes(3, "little"))
+        assert parse_image_header(vp8x) == ("image/webp", 640, 480)
+        # RIFF but not WEBP falls through
+        assert parse_image_header(b"RIFF\x00\x00\x00\x00WAVEfmt " + b"\x00" * 20) is None
+
     def test_image_features_real_dimensions(self, spark):
         """Real container bytes in the fixture -> real width/height from
         the header parser (not the fake decoder's hash dims)."""
@@ -198,6 +214,22 @@ class TestMultimodal:
         flac = b"fLaC" + b"\x80" + (34).to_bytes(3, "big") + streaminfo
         assert parse_audio_header(flac) == ("audio/flac", 22050, 2, 1000)
         assert parse_audio_header(b"RIFFxxxxJUNK") is None
+
+    def test_mp3_header_parse_pure(self):
+        from librecrawl_spark.operators.multimodal import (
+            make_test_mp3, parse_audio_header)
+
+        # bare CBR stream: 10 frames of 417 bytes at 128kbps/44.1k mono
+        assert parse_audio_header(make_test_mp3(44100, 128, 1, 10)) \
+            == ("audio/mpeg", 44100, 1, 260)
+        # ID3v2 tag skipped via syncsafe size; stereo; 64kbps/32k
+        assert parse_audio_header(make_test_mp3(32000, 64, 2, 25,
+                                                id3=b"TALB test album")) \
+            == ("audio/mpeg", 32000, 2, 900)
+        # ID3 tag with no valid frame after it
+        assert parse_audio_header(b"ID3\x04\x00\x00\x00\x00\x00\x01X") is None
+        # free-format bitrate index and reserved sample-rate index rejected
+        assert parse_audio_header(bytes([0xFF, 0xFA, 0x0C, 0xC0])) is None
         assert parse_audio_header(b"") is None
 
     def test_audio_features_real_rates(self, spark):
