@@ -506,6 +506,39 @@ def unsafe_cross_origin_issues(pages: DataFrame) -> DataFrame:
     )
 
 
+def detect_all_issues(pages: DataFrame, links: DataFrame, *,
+                      duplication_threshold: float = 0.85,
+                      enable_duplication_check: bool = True,
+                      exclusion_patterns: tuple[str, ...] = ()) -> DataFrame:
+    """The full issue report — engine analogue of running the
+    reference's ``detect_issues`` over every crawled result plus its
+    whole-crawl passes (issue_detector.py:19-56, 1299-1969): per-page
+    checks, link-graph joins (J4/J5), hreflang (J6), site-wide security,
+    duplicate content (J7), with issue-exclusion patterns applied last.
+    Returns (url, type, category, issue, details). Sitemap cross-ref
+    (J3) stays separate — it yields classifications, not issue rows."""
+    core = ["url", "type", "category", "issue", "details"]
+    parts = [
+        per_page_issues(pages).select(*core),
+        links_to_redirects(pages, links).select(*core),
+        broken_link_sources(pages, links).select(*core),
+        hreflang_invalid_codes(pages).select(*core),
+        hreflang_reciprocity(pages).select(*core),
+    ]
+    if "response_headers" in pages.columns:
+        parts.append(security_header_issues(pages).select(*core))
+    if "links_data" in pages.columns:
+        parts.append(unsafe_cross_origin_issues(pages).select(*core))
+    if enable_duplication_check:
+        parts.append(duplicate_content_issues(pages, duplication_threshold).select(*core))
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    if exclusion_patterns:
+        out = apply_issue_exclusions(out, tuple(exclusion_patterns))
+    return out
+
+
 def apply_issue_exclusions(issues: DataFrame, patterns: tuple[str, ...]) -> DataFrame:
     """F11 (issue_detector.py:1457-1469 + re-applied at read
     main.py:409-441): drop issues whose URL *path* matches an exclusion

@@ -378,3 +378,19 @@ def test_security_header_issues_unit(spark):
         ("http://d3.example", "Security: Missing Content-Security-Policy"),
         ("http://d3.example", "Security: Missing X-Frame-Options"),
     }
+
+
+def test_detect_all_issues_union(pages):
+    """detect_all_issues = union of its parts, exclusions applied."""
+    pg, links = pages
+    allr = I.detect_all_issues(pg, links).collect()
+    assert {r["type"] for r in allr} <= {"error", "warning", "info"}
+    cats = {r["category"] for r in allr}
+    assert "SEO" in cats and "Security" in cats
+    n_pp = I.per_page_issues(pg).count()
+    assert len(allr) >= n_pp
+    # exclusion patterns match the URL PATH (fnmatch semantics,
+    # issue_detector.py:1457-1469)
+    kept = I.detect_all_issues(pg, links, exclusion_patterns=("*/page/*",))
+    assert kept.filter(F.col("url").contains("/page/")).count() == 0
+    assert kept.count() < len(allr)
