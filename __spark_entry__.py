@@ -143,9 +143,25 @@ def _issue_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(i % 8 == 4, F.array(F.lit("H" * 75)))
         .otherwise(F.array(F.concat(F.lit("Heading "), s)))
     )
-    h2 = F.when(i % 6 == 3, F.array(F.lit("S"), F.lit("S"))).otherwise(
-        F.array(F.lit("S1"), F.lit("S2"))
+    h2 = (
+        F.when(i % 6 == 3, F.array(F.lit("S"), F.lit("S")))
+        # boilerplate-only duplicates -> H2: Duplicate (Boilerplate)
+        .when(i % 6 == 5, F.array(F.lit("Comments"), F.lit("Comments")))
+        .otherwise(F.array(F.lit("S1"), F.lit("S2")))
     )
+    hs_t = "array<struct<level:int, text:string>>"
+    headings = (
+        # first heading is an H2 -> 'H2 appears before H1'
+        F.when(i % 17 == 2, F.expr("array(struct(2 AS level, 'A' AS text))"))
+        # H1 -> H3 skip -> 'H3: Non-Sequential'
+        .when(i % 17 == 3, F.expr(
+            "array(struct(1 AS level, 'A' AS text), struct(3 AS level, 'B' AS text),"
+            " struct(2 AS level, 'C' AS text))"))
+        # first heading is an H3
+        .when(i % 17 == 5, F.expr("array(struct(3 AS level, 'A' AS text))"))
+        .otherwise(F.expr(
+            "array(struct(1 AS level, 'A' AS text), struct(2 AS level, 'B' AS text))"))
+    ).cast(hs_t)
     status = (
         F.when(i % 19 == 4, F.lit(0))
         .when(i % 19 == 6, F.lit(404))
@@ -171,7 +187,7 @@ def _issue_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     images = F.when(
         i % 5 == 2,
-        F.expr("array(struct('/s.png' AS src, '' AS alt, '10' AS width, '10' AS height), "
+        F.expr("array(struct('/s.png' AS src, '' AS alt, '' AS width, '10' AS height), "
                "struct('/t.png' AS src, 'ok' AS alt, '10' AS width, '10' AS height))"),
     ).when(
         i % 5 == 3,
@@ -204,6 +220,8 @@ def _issue_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.get(h1_list, 0), F.lit("")).alias("h1"),
             h1_list.alias("h1_list"),
             h2.alias("h2"),
+            headings.alias("headings_structure"),
+            F.when(i % 16 == 2, F.lit("")).otherwise(F.lit("en")).alias("lang"),
             F.pmod(F.col("n_chars"), F.lit(700)).cast("int").alias("word_count"),
             status.alias("status_code"),
             F.lit("text/html").alias("content_type"),
@@ -831,6 +849,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", "type", "category", "issue", "details", "lang", "target"
         )
 
+    def i_sitemap_issues(spark, sf):
+        """Per-URL Sitemap issue rows (issue_detector.py:1569-1611) over
+        the same synthetic sitemap x pages construction as a7."""
+        from librecrawl_spark.operators.issues import sitemap_issue_rows
+
+        part = _t(spark, sf, "part")
+        k = F.col("p_partkey")
+        sm = part.filter(k % 4 == 0).select(
+            F.concat(F.lit("https://s.example/p"), k.cast("string"),
+                     F.when(k % 8 == 0, F.lit("/")).otherwise(F.lit(""))).alias("url")
+        )
+        url = F.concat(F.lit("https://s.example/p"), k.cast("string"))
+        status = (
+            F.when(k % 7 == 1, F.lit(404))
+            .when(k % 7 == 2, F.lit(301))
+            .when(k % 7 == 4, F.lit(0))
+            .otherwise(F.lit(200))
+        )
+        pages = part.filter(k % 3 == 0).select(
+            url.alias("url"),
+            status.alias("status_code"),
+            F.when(k % 11 == 3, F.lit("noindex")).otherwise(F.lit("")).alias("robots"),
+            F.when(k % 13 == 2, F.lit("https://s.example/"))
+            .otherwise(F.lit("")).alias("canonical_url"),
+        )
+        return sitemap_issue_rows(sm, pages)
+
+    def s2_size_gate(spark, sf):
+        """S2 HEAD max_file_size gate (operators/extract.py
+        apply_size_gate; crawler.py:916-931): oversized fetches become
+        status-0 'File too large' rows, everything else passes through."""
+        from librecrawl_spark.operators import extract as X
+
+        ev = _t(spark, sf, "events").select("event_id")
+        i = F.col("event_id")
+        fetched = ev.select(
+            F.concat(F.lit("https://z.example/p"), i.cast("string")).alias("url"),
+            i.cast("long").alias("seq"),
+            F.when(i % 9 == 5, F.lit("dns failure")).otherwise(
+                F.lit(None).cast("string")).alias("error"),
+            F.when(i % 9 == 5, F.lit(0)).otherwise(F.lit(200))
+            .cast("int").alias("status_code"),
+            (F.lit(1000) + (i % 7) * 300_000).cast("long").alias("size"),
+            F.lit("text/html").alias("content_type"),
+        )
+        out = X.apply_size_gate(fetched, max_file_size=1_000_000)
+        return out.select("url", "seq", "status_code", "size", "error")
+
+    def f9_budget_cut(spark, sf):
+        """F9 max_urls budget cut (plans/crawl.py:332-340;
+        crawler.py:778-780): the wave fetches the N lowest-seq eligible
+        rows — cut_seq = max(seq) of the seq-ordered LIMIT, then a
+        filter, exactly the plan the crawl loop runs."""
+        ev = _t(spark, sf, "events").select("event_id")
+        i = F.col("event_id")
+        eligible = ev.select(
+            F.concat(F.lit("https://b.example/p"), i.cast("string")).alias("url"),
+            i.cast("long").alias("seq"),
+        ).filter(i % 3 != 1)
+        remaining = 500
+        cut_seq = (
+            eligible.orderBy("seq").limit(remaining)
+            .agg(F.max("seq")).collect()[0][0]
+        )
+        return eligible.filter(F.col("seq") <= cut_seq)
+
     def a7_sitemap_health(spark, sf):
         from librecrawl_spark.operators.issues import sitemap_health
 
@@ -908,6 +992,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c2_normalize_compare": c2_normalize_compare,
         "c12_hreflang_codes": c12_hreflang_codes,
         "a7_sitemap_health": a7_sitemap_health,
+        "i_sitemap_issues": i_sitemap_issues,
+        "s2_size_gate": s2_size_gate,
+        "f9_budget_cut": f9_budget_cut,
         "q1_pricing_summary": q1_pricing_summary,
         "j1_status_lookup_join": j1_status_lookup_join,
         "j2_reverse_links": j2_reverse_links,
@@ -944,14 +1031,9 @@ def _issue_predicates_sql() -> str:
     transcription of every per_page_issues predicate as one UNION ALL.
     The page-type/archive classification is expressed as the EXPECTED
     class per construction case (an independent check of the Spark
-    classifier's regex/substring logic)."""
-    from librecrawl_spark.operators.issues import _SOFT404_PHRASES
-
-    def q(s: str) -> str:
-        return s.replace("'", "''")
-
-    soft_t = " OR ".join(f"contains(lower(title), '{q(p)}')" for p in _SOFT404_PHRASES)
-    soft_h = " OR ".join(f"contains(lower(h1), '{q(p)}')" for p in _SOFT404_PHRASES)
+    classifier's regex/substring logic). Labels/details are the
+    reference's literals (issue_detector.py); the status-0 early return
+    is the `status <> 0` conjunct on every non-connection check."""
     i7 = "CAST(doc_id % 7 AS INT)"
     pg = f"""
       SELECT
@@ -978,22 +1060,27 @@ def _issue_predicates_sql() -> str:
              WHEN 4 THEN repeat('H', 75)
              ELSE 'Heading ' || CAST(doc_id AS VARCHAR) END AS h1,
         CAST(doc_id % 6 AS INT) = 3 AS h2_dup,
+        CAST(doc_id % 6 AS INT) = 5 AS h2_boiler,
+        CAST(doc_id % 17 AS INT) AS hs17,
+        CAST(doc_id % 16 AS INT) = 2 AS lang_missing,
+        CAST(doc_id % 11 AS INT) = 5 AS soft404,
         CAST(n_chars % 700 AS INT) AS wc,
         CASE CAST(doc_id % 19 AS INT) WHEN 4 THEN 0 WHEN 6 THEN 404 WHEN 8 THEN 500
              WHEN 10 THEN 301 ELSE 200 END AS status,
         CAST(doc_id % 23 AS INT) = 7 AS chain_loop,
         CASE CAST(doc_id % 23 AS INT) WHEN 7 THEN 2 WHEN 9 THEN 4 WHEN 11 THEN 2 ELSE 0 END AS rc,
         CAST(doc_id % 10 AS INT) = 6 AS canon_missing,
-        (CAST(doc_id % 10 AS INT) = 8 AND {i7} <> 0) AS canonicalised,
+        (CAST(doc_id % 10 AS INT) = 8 AND {i7} <> 0) AS canon_home,
+        (CAST(doc_id % 10 AS INT) = 4 AND {i7} = 6) AS canon_qf,
         CAST(doc_id % 12 AS INT) = 5 AS vp_missing,
         CASE WHEN CAST(doc_id % 5 AS INT) = 2 THEN 1 ELSE 0 END AS img_missing,
         CAST(doc_id % 14 AS INT) IN (9, 11) AS noindex,
+        CAST(doc_id % 14 AS INT) = 9 AS meta_src,
         CAST(doc_id % 14 AS INT) = 9 AS nofollow,
-        CAST(doc_id % 19 AS INT) <> 4 AS parsed,
         CAST(doc_id % 6 AS INT) AS sd,
         CASE WHEN CAST(doc_id % 6 AS INT) = 1 THEN CAST(doc_id % 3 AS INT) ELSE 0 END AS faq_count,
         (CAST(doc_id % 6 AS INT) = 2 AND doc_id % 2 = 0) AS article_ok,
-        -- round-3 families (social / url / performance / links / security)
+        -- social / url / performance / links / security families
         NOT (CAST(doc_id % 4 AS INT) = 1) AS og_missing,
         NOT (CAST(doc_id % 5 AS INT) = 2) AS tw_missing,
         CASE WHEN CAST(doc_id % 29 AS INT) = 21 THEN 4000000
@@ -1008,147 +1095,201 @@ def _issue_predicates_sql() -> str:
       FROM documents
     """
     sel = "SELECT url, {t} AS type, {c} AS category, {i} AS issue, {d} AS details FROM pg WHERE {w}"
+    live = "status <> 0"
     checks = [
-        sel.format(t="'error'", c="'Connectivity'", i="'Connection Error'",
+        # connection failure (issue_detector.py:30-39)
+        sel.format(t="'error'", c="'Technical'", i="'Connection Failed'",
                    d="'fetch failed'", w="status = 0"),
+        # titles (issue_detector.py:88-151)
         sel.format(t="CASE WHEN arch THEN 'warning' ELSE 'error' END", c="'SEO'",
                    i="CASE WHEN arch THEN 'Missing Title Tag (Archive/Utility)' ELSE 'Missing Title Tag' END",
-                   d="'Page has no title tag'", w="parsed AND len(title) = 0"),
+                   d="'Page has no title tag' || CASE WHEN arch THEN ' (archive/utility page - lower priority)' ELSE '' END",
+                   w=f"{live} AND len(title) = 0"),
         sel.format(t="'warning'", c="'SEO'", i="'Page Titles: Over 60 Characters'",
                    d="'Title is ' || CAST(len(title) AS VARCHAR) || ' characters'",
-                   w="len(title) > 60"),
+                   w=f"{live} AND len(title) > 60"),
         sel.format(t="'warning'", c="'SEO'", i="'Page Titles: Over 561 Pixels'",
                    d="'Title is approx ' || CAST(len(title) * 9 AS VARCHAR) || ' pixels'",
-                   w="len(title) * 9 > 561"),
+                   w=f"{live} AND len(title) * 9 > 561"),
         sel.format(t="'warning'", c="'SEO'", i="'Title Too Short'",
                    d="'Title is ' || CAST(len(title) AS VARCHAR) || ' characters (recommended: 30-60)'",
-                   w="len(title) > 0 AND len(title) < 30"),
-        sel.format(t="CASE WHEN ptype = 'archive' THEN 'info' ELSE 'warning' END", c="'SEO'",
-                   i="CASE WHEN ptype = 'archive' THEN 'Meta Description: Missing (Archive/Utility)' ELSE 'Meta Description: Missing' END",
-                   d="'Page has no meta description'", w="parsed AND dlen = 0"),
+                   w=f"{live} AND len(title) > 0 AND len(title) < 30"),
+        # meta description (issue_detector.py:153-207): archive OR
+        # utility downgrade to info
+        sel.format(t="CASE WHEN arch THEN 'info' ELSE 'warning' END", c="'SEO'",
+                   i="CASE WHEN arch THEN 'Meta Description: Missing (Archive/Utility)' ELSE 'Meta Description: Missing' END",
+                   d="'Page has no meta description' || CASE WHEN arch THEN ' (archive/utility page - low priority)' ELSE '' END",
+                   w=f"{live} AND dlen = 0"),
         sel.format(t="'warning'", c="'SEO'", i="'Meta Description: Over 155 Characters'",
                    d="'Description is ' || CAST(dlen AS VARCHAR) || ' characters'",
-                   w="dlen > 155"),
+                   w=f"{live} AND dlen > 155"),
         sel.format(t="'warning'", c="'SEO'", i="'Meta Description: Over 985 Pixels'",
                    d="'Description is approx ' || CAST(dlen * 9 AS VARCHAR) || ' pixels'",
-                   w="dlen * 9 > 985"),
+                   w=f"{live} AND dlen * 9 > 985"),
+        # headings (issue_detector.py:209-351)
         sel.format(t="CASE WHEN arch THEN 'warning' ELSE 'error' END", c="'SEO'",
                    i="CASE WHEN arch THEN 'Missing H1 Tag (Archive/Utility)' ELSE 'Missing H1 Tag' END",
-                   d="'Page has no H1 heading'", w="parsed AND n_h1 = 0"),
+                   d="'Page has no H1 heading' || CASE WHEN arch THEN ' (archive/utility - lower priority)' ELSE '' END",
+                   w=f"{live} AND n_h1 = 0"),
         sel.format(t="'warning'", c="'SEO'", i="'H1: Multiple'",
-                   d="'Page has ' || CAST(n_h1 AS VARCHAR) || ' H1 tags'", w="n_h1 > 1"),
+                   d="'Page has ' || CAST(n_h1 AS VARCHAR) || ' H1 tags'",
+                   w=f"{live} AND n_h1 > 1"),
         sel.format(t="'warning'", c="'SEO'", i="'H1: Duplicate'",
-                   d="'Page has duplicate H1 tags'", w="h1_dup"),
+                   d="'Page has duplicate H1 tags'", w=f"{live} AND h1_dup"),
         sel.format(t="'warning'", c="'SEO'", i="'H1: Over 70 Characters'",
-                   d="'H1 is ' || CAST(len(h1) AS VARCHAR) || ' characters'", w="len(h1) > 70"),
+                   d="'H1 is ' || CAST(len(h1) AS VARCHAR) || ' characters'",
+                   w=f"{live} AND len(h1) > 70"),
+        # heading structure (issue_detector.py:273-308): case hs17=2 first
+        # heading H2, hs17=5 first heading H3, hs17=3 H1->H3 skip
+        sel.format(t="CASE WHEN arch THEN 'info' ELSE 'warning' END", c="'SEO'",
+                   i="'H' || CAST(CASE hs17 WHEN 2 THEN 2 ELSE 3 END AS VARCHAR) || "
+                     "' appears before H1' || CASE WHEN arch THEN ' (Archive/Utility)' ELSE '' END",
+                   d="'The first heading is an H' || CAST(CASE hs17 WHEN 2 THEN 2 ELSE 3 END AS VARCHAR) || ', should be H1.'",
+                   w=f"{live} AND hs17 IN (2, 5)"),
+        sel.format(t="'warning'", c="'SEO'", i="'H3: Non-Sequential'",
+                   d="'Heading structure skips from H1 to H3'",
+                   w=f"{live} AND hs17 = 3"),
+        # duplicate H2 + boilerplate allow-list (issue_detector.py:310-351)
         sel.format(t="CASE WHEN arch THEN 'info' ELSE 'warning' END", c="'SEO'",
                    i="CASE WHEN arch THEN 'H2: Duplicate (Archive/Utility)' ELSE 'H2: Duplicate' END",
-                   d="'Page has duplicate H2 tags'", w="h2_dup"),
+                   d="'Page has duplicate H2 tags: S' || CASE WHEN arch THEN ' (archive/utility - low priority)' ELSE '' END",
+                   w=f"{live} AND h2_dup"),
+        sel.format(t="'info'", c="'SEO'", i="'H2: Duplicate (Boilerplate)'",
+                   d="'Duplicate template headings found: Comments'",
+                   w=f"{live} AND h2_boiler"),
+        # content (issue_detector.py:353-366) — no status-200 gate
         sel.format(t="'warning'", c="'Content'", i="'Thin Content'",
                    d="'Page has only ' || CAST(wc AS VARCHAR) || ' words (recommended: ≥300)'",
-                   w="parsed AND status = 200 AND wc < 300"),
+                   w=f"{live} AND wc < 300"),
+        # status codes: details are the descriptive messages
         sel.format(t="'error'", c="'Technical'", i="'Response Codes: External Client Error (4xx)'",
-                   d="'HTTP ' || CAST(status AS VARCHAR)", w="status >= 400 AND status < 500"),
+                   d="'Not Found'", w="status = 404"),
         sel.format(t="'error'", c="'Technical'", i="'Response Codes: External Server Error (5xx)'",
-                   d="'HTTP ' || CAST(status AS VARCHAR)", w="status >= 500"),
+                   d="'Internal Server Error'", w="status = 500"),
         sel.format(t="'info'", c="'Technical'", i="'Response Codes: Internal Redirection (3xx)'",
                    d="'URL redirects to another location'", w="status >= 300 AND status < 400"),
-        sel.format(t=f"CASE WHEN ({soft_t}) AND ({soft_h}) THEN 'error' ELSE 'warning' END",
+        # soft 404 (issue_detector.py:405-451): of the 15 phrases only
+        # 'not found' (title case i%11=5) and '404' (doc_id digits leaking
+        # into the default title/h1) can hit this fixture
+        sel.format(t="CASE WHEN (soft404 OR contains(title, '404')) AND contains(h1, '404') THEN 'error' ELSE 'warning' END",
                    c="'Technical'", i="'Soft 404: Returns 200 but appears broken'",
-                   d="'Title \"' || substr(title, 1, 60) || '\" or H1 suggests this is an error page'",
-                   w=f"status = 200 AND (({soft_t}) OR ({soft_h}))"),
+                   d="CASE WHEN (soft404 OR contains(title, '404')) AND contains(h1, '404') "
+                     "THEN 'Title: \"' || substr(title, 1, 50) || '\" and H1: \"' || substr(h1, 1, 50) || '\" suggest error page' "
+                     "WHEN soft404 OR contains(title, '404') "
+                     "THEN 'Title \"' || substr(title, 1, 60) || '\" suggests this is an error page' "
+                     "ELSE 'H1 \"' || substr(h1, 1, 60) || '\" suggests this is an error page' END",
+                   w="status = 200 AND (soft404 OR contains(title, '404') OR contains(h1, '404'))"),
+        # redirect chains (issue_detector.py:453-505): if/elif ladder
         sel.format(t="'error'", c="'Technical'", i="'Redirect Loop Detected'",
-                   d="'URL redirects back to itself'", w="chain_loop"),
+                   d="'URL redirects back to itself: ' || url",
+                   w=f"{live} AND chain_loop"),
         sel.format(t="'warning'", c="'Technical'", i="'Long Redirect Chain'",
-                   d="CAST(rc AS VARCHAR) || ' redirects before final destination'", w="rc > 3"),
+                   d="CAST(rc AS VARCHAR) || ' redirects before final destination. Chain: 301 → 301 → 301 → 301 → 301'",
+                   w=f"{live} AND rc > 3 AND NOT chain_loop"),
         sel.format(t="'info'", c="'Technical'", i="'Redirect Chain'",
-                   d="CAST(rc AS VARCHAR) || ' redirects'", w="rc > 1 AND rc <= 3"),
+                   d="CAST(rc AS VARCHAR) || ' redirects: 301 → 301 → 301'",
+                   w=f"{live} AND rc > 1 AND rc <= 3 AND NOT chain_loop"),
+        # canonical (issue_detector.py:507-591) — no status/parsed gate
         sel.format(t="CASE WHEN ptype = 'archive' THEN 'warning' ELSE 'error' END",
                    c="'Technical'", i="'Missing Canonical URL'",
                    d="CASE WHEN ptype = 'important' THEN 'Indexable content page has no canonical URL' "
                      "WHEN ptype = 'archive' THEN 'Archive page missing canonical (Review if this should be indexed)' "
                      "ELSE 'Page has no canonical URL specified' END",
-                   w="parsed AND canon_missing AND NOT noindex AND status = 200"),
+                   w=f"{live} AND canon_missing AND NOT noindex"),
         sel.format(t="'error'", c="'Technical'", i="'Canonicals: Canonicalised'",
-                   d="'Page is canonicalised to: https://i.example/'", w="canonicalised"),
+                   d="'Critical: Content page canonicalises to Homepage (Soft 404 risk)'",
+                   w=f"{live} AND canon_home"),
+        sel.format(t="'info'", c="'Technical'", i="'Canonicals: Canonicalised'",
+                   d="'Safe: Canonical removes query parameters or fragments'",
+                   w=f"{live} AND canon_qf"),
+        # mobile (issue_detector.py:597-608)
         sel.format(t="'error'", c="'Mobile'", i="'Missing Viewport Meta Tag'",
-                   d="'Page is not mobile-optimized (no viewport meta tag)'",
-                   w="parsed AND status = 200 AND vp_missing"),
-        sel.format(t="'warning'", c="'Accessibility'", i="'Images Missing Alt Text'",
-                   d="CAST(img_missing AS VARCHAR) || ' images without alt text'",
-                   w="img_missing > 0"),
+                   d="'Page is not mobile-optimized'",
+                   w=f"{live} AND vp_missing"),
+        # accessibility + images (issue_detector.py:610-651)
+        sel.format(t="'info'", c="'Accessibility'", i="'Missing Language Attribute'",
+                   d="'Template issue: HTML tag missing lang attribute (accessibility best practice)'",
+                   w=f"{live} AND lang_missing"),
+        sel.format(t="'warning'", c="'Images'", i="'Images: Missing Alt Text'",
+                   d="CAST(img_missing AS VARCHAR) || ' images lack alt text'",
+                   w=f"{live} AND img_missing > 0"),
+        sel.format(t="'info'", c="'Images'", i="'Images: Missing Size Attributes'",
+                   d="CAST(img_missing AS VARCHAR) || ' images lack width/height attributes'",
+                   w=f"{live} AND img_missing > 0"),
+        # indexability (issue_detector.py:873-931): source string names
+        # the directive carrier (meta tag for i%14=9, header for i%14=11)
         sel.format(t="CASE WHEN ptype = 'archive' THEN 'info' WHEN ptype = 'important' THEN 'error' ELSE 'warning' END",
                    c="'Indexability'", i="'Directives: Noindex'",
-                   d="CASE WHEN ptype = 'archive' THEN 'Source: HTML Meta Tag (Expected for archive page)' "
-                     "WHEN ptype = 'important' THEN 'Source: HTML Meta Tag (Critical: Important page is blocked!)' "
-                     "ELSE 'Source: HTML Meta Tag' END",
-                   w="noindex"),
+                   d="'Source: ' || CASE WHEN meta_src THEN 'HTML Meta Tag' ELSE 'HTTP Header (X-Robots-Tag)' END || "
+                     "CASE WHEN ptype = 'archive' THEN ' (Expected for archive page)' "
+                     "WHEN ptype = 'important' THEN ' (Critical: Important page is blocked!)' ELSE '' END",
+                   w=f"{live} AND noindex"),
         sel.format(t="'warning'", c="'Indexability'", i="'Directives: Nofollow'",
-                   d="'Source: HTML Meta Tag'", w="nofollow"),
+                   d="'Source: HTML Meta Tag'", w=f"{live} AND nofollow"),
         # structured data (sd: 0 none, 1 FAQPage, 2 Article, 3 Org, 4 Product, 5 WebSite)
         sel.format(t="'warning'", c="'Structured Data'", i="'No Structured Data'",
-                   d="'Page has no JSON-LD or Schema.org markup'", w="sd = 0"),
+                   d="'Page has no JSON-LD or Schema.org markup'", w=f"{live} AND sd = 0"),
         sel.format(t="'info'", c="'Structured Data'", i="'Schema: Missing Organization/WebSite'",
                    d="'Consider adding Organization or WebSite schema for brand visibility'",
-                   w="sd = 1 AND ptype = 'important'"),
+                   w=f"{live} AND sd = 1 AND ptype = 'important'"),
         sel.format(t="'warning'", c="'Structured Data'", i="'Schema: FAQPage has no questions'",
                    d="'FAQPage schema found but no Question items detected'",
-                   w="sd = 1 AND faq_count = 0"),
+                   w=f"{live} AND sd = 1 AND faq_count = 0"),
         sel.format(t="'info'", c="'Structured Data'", i="'Schema: FAQPage has few questions'",
                    d="'Only ' || CAST(faq_count AS VARCHAR) || ' FAQ items found (3+ recommended)'",
-                   w="sd = 1 AND faq_count > 0 AND faq_count < 3"),
+                   w=f"{live} AND sd = 1 AND faq_count > 0 AND faq_count < 3"),
         sel.format(t="'warning'", c="'Structured Data'", i="'Schema: Article missing required fields'",
                    d="'Article schema should have headline and datePublished'",
-                   w="sd = 2 AND NOT article_ok"),
-        # social (issue_detector.py:653-674); live gate = status <> 0
+                   w=f"{live} AND sd = 2 AND NOT article_ok"),
+        # social (issue_detector.py:653-673)
         sel.format(t="'info'", c="'Social'", i="'Missing OpenGraph Tags'",
                    d="'Page has no OpenGraph tags for social sharing'",
-                   w="status <> 0 AND og_missing"),
+                   w=f"{live} AND og_missing"),
         sel.format(t="'info'", c="'Social'", i="'Missing Twitter Card Tags'",
                    d="'Page has no Twitter Card tags'",
-                   w="status <> 0 AND tw_missing"),
+                   w=f"{live} AND tw_missing"),
         # URL structure (issue_detector.py:1037-1079) — expected-case
         # predicates per construction (case 2 long, 3 underscore,
         # 5 repetitive, 6 parameters)
         sel.format(t="'info'", c="'URL'", i="'URL: Over 115 Characters'",
                    d="'URL is ' || CAST(len(url) AS VARCHAR) || ' characters long'",
-                   w="status <> 0 AND i7mod = 2"),
+                   w=f"{live} AND i7mod = 2"),
         sel.format(t="'info'", c="'URL'", i="'URL: Underscores'",
                    d="'URL contains underscores (use hyphens instead)'",
-                   w="status <> 0 AND i7mod = 3"),
+                   w=f"{live} AND i7mod = 3"),
         sel.format(t="'info'", c="'URL'", i="'URL: Parameters'",
                    d="'URL contains query parameters'",
-                   w="status <> 0 AND i7mod = 6"),
+                   w=f"{live} AND i7mod = 6"),
         sel.format(t="'info'", c="'URL'", i="'URL: Repetitive Path'",
                    d="'URL path contains duplicate segments'",
-                   w="status <> 0 AND i7mod = 5"),
+                   w=f"{live} AND i7mod = 5"),
         # performance (issue_detector.py:849-871)
         sel.format(t="'error'", c="'Performance'", i="'Slow Response Time'",
                    d="'Page took ' || CAST(rt AS VARCHAR) || 'ms to respond (recommended: <3000ms)'",
-                   w="status <> 0 AND rt > 3000"),
+                   w=f"{live} AND rt > 3000"),
         sel.format(t="'error'", c="'Performance'", i="'Large Page Size'",
                    d="'Page size is ' || printf('%.1f', psize / 1024.0 / 1024.0) || 'MB (recommended: <3MB)'",
-                   w="status <> 0 AND psize > 3145728"),
+                   w=f"{live} AND psize > 3145728"),
         # links (issue_detector.py:1081-1151); one links_data row per case
         sel.format(t="'info'", c="'Links'", i="'Links: Pages With High External Outlinks'",
                    d="'Page has ' || CAST(ext_links AS VARCHAR) || ' external links'",
-                   w="status <> 0 AND ext_links > 50"),
+                   w=f"{live} AND ext_links > 50"),
         sel.format(t="'info'", c="'Links'", i="'Links: Internal Nofollow Outlinks'",
                    d="'1 internal links are marked nofollow'",
-                   w="status <> 0 AND l6 = 0"),
+                   w=f"{live} AND l6 = 0"),
         sel.format(t="'warning'", c="'Links'", i="'Links: Internal Outlinks With No Anchor Text'",
                    d="'1 links have no anchor text'",
-                   w="status <> 0 AND l6 = 1"),
+                   w=f"{live} AND l6 = 1"),
         sel.format(t="'warning'", c="'Links'", i="'Links: Non-Descriptive Anchor Text'",
                    d="'1 links use generic text like \"click here\"'",
-                   w="status <> 0 AND l6 = 2"),
-        # security, per-page (issue_detector.py:1250-1298)
+                   w=f"{live} AND l6 = 2"),
+        # security, per-page (issue_detector.py:1250-1297)
         sel.format(t="'error'", c="'Security'", i="'Security: Mixed Content'",
                    d="'Secure page loads insecure (HTTP) assets: Image: http://i.example/mc.png'",
-                   w="status <> 0 AND img_mixed"),
+                   w=f"{live} AND img_mixed"),
         sel.format(t="'warning'", c="'Security'", i="'Security: Protocol-Relative Resource Links'",
                    d="'1 resources use protocol-relative URLs (//). Use explicit HTTPS instead.'",
-                   w="status <> 0 AND l6 = 4"),
+                   w=f"{live} AND l6 = 4"),
     ]
     return f"WITH pg AS ({pg})\n" + "\nUNION ALL\n".join(checks)
 
@@ -1174,8 +1315,15 @@ def _c12_sql() -> str:
           FROM p
         )
         SELECT url, 'warning' AS type, 'International' AS category,
-               'Hreflang: Invalid Language Code' AS issue,
-               'Invalid hreflang code: ' || lang AS details, lang, target
+               CASE WHEN NOT regexp_matches(lang, '{_HREFLANG_RE}')
+                    THEN 'Hreflang: Invalid Language Code'
+                    ELSE 'Hreflang: Unknown Language Code' END AS issue,
+               CASE WHEN NOT regexp_matches(lang, '{_HREFLANG_RE}')
+                    THEN 'Invalid hreflang code "' || lang ||
+                         '" - should be ISO 639-1 format (e.g., en, en-US)'
+                    ELSE 'Unrecognized language code "' || lang ||
+                         '" - verify it is a valid ISO 639-1 code' END AS details,
+               lang, target
         FROM e
         WHERE NOT regexp_matches(lang, '{_HREFLANG_RE}')
            OR (NOT lower(split_part(lang, '-', 1)) IN ({iso})
@@ -1383,14 +1531,93 @@ def oracle_sql() -> dict[str, str]:
               FROM orders
             ),
             n AS (
-              SELECT regexp_replace(lower(trim(url)), '#.*$', '') AS lu FROM u
+              SELECT regexp_replace(lower(url), '#.*$', '') AS lu FROM u
             )
-            SELECT CASE WHEN regexp_matches(lu, '^https?://[^/]+/$') THEN lu
-                        ELSE regexp_replace(lu, '/$', '') END AS norm_url,
+            -- _normalize_url_for_comparison (issue_detector.py:61-86):
+            -- rstrip ALL path slashes (root included), keep the query
+            SELECT CASE WHEN contains(lu, '?')
+                        THEN regexp_replace(regexp_replace(lu, '\\?.*$', ''), '/+$', '')
+                             || '?' || regexp_extract(lu, '\\?(.*)$', 1)
+                        ELSE regexp_replace(lu, '/+$', '') END AS norm_url,
                    count(*) AS n_variants
             FROM n GROUP BY 1
         """,
         "c12_hreflang_codes": _c12_sql(),
+        "i_sitemap_issues": """
+            WITH sm0 AS (
+              SELECT 'https://s.example/p' || CAST(p_partkey AS VARCHAR) ||
+                     CASE WHEN p_partkey % 8 = 0 THEN '/' ELSE '' END AS sitemap_url
+              FROM part WHERE p_partkey % 4 = 0
+            ),
+            sm AS (
+              SELECT sitemap_url,
+                     regexp_replace(regexp_replace(lower(sitemap_url), '#.*$', ''), '/+$', '') AS _k
+              FROM sm0
+            ),
+            pg AS (
+              SELECT lower('https://s.example/p' || CAST(p_partkey AS VARCHAR)) AS _k,
+                     'x' AS crawled,
+                     CASE CAST(p_partkey % 7 AS INT) WHEN 1 THEN 404 WHEN 2 THEN 301
+                          WHEN 4 THEN 0 ELSE 200 END AS status,
+                     CASE WHEN p_partkey % 11 = 3 THEN 'noindex' ELSE '' END AS robots,
+                     CASE WHEN p_partkey % 13 = 2 THEN 'https://s.example/' ELSE '' END AS canonical
+              FROM part WHERE p_partkey % 3 = 0
+            ),
+            c AS (
+              SELECT sm.sitemap_url AS url, pg.status, pg.canonical,
+                     CASE WHEN pg.crawled IS NULL THEN 'not_crawled'
+                          WHEN pg.status >= 400 OR pg.status = 0 THEN 'error'
+                          WHEN pg.status >= 300 AND pg.status < 400 THEN 'redirect'
+                          WHEN contains(pg.robots, 'noindex') THEN 'noindex'
+                          WHEN len(pg.canonical) > 0 AND
+                               regexp_replace(regexp_replace(lower(pg.canonical), '#.*$', ''), '/+$', '') <> sm._k
+                               THEN 'non_canonical'
+                          ELSE 'valid' END AS cls
+              FROM sm LEFT JOIN pg ON sm._k = pg._k
+            )
+            SELECT url,
+                   CASE WHEN cls = 'error' THEN 'error' ELSE 'warning' END AS type,
+                   'Sitemap' AS category,
+                   CASE cls WHEN 'error' THEN 'Sitemap: Broken URL'
+                        WHEN 'redirect' THEN 'Sitemap: Redirecting URL'
+                        WHEN 'noindex' THEN 'Sitemap: Noindexed URL'
+                        ELSE 'Sitemap: Non-Canonical URL' END AS issue,
+                   CASE cls
+                        WHEN 'error' THEN 'URL returns ' ||
+                          CASE status WHEN 404 THEN 'Not Found'
+                               ELSE 'HTTP ' || CAST(status AS VARCHAR) || ' Error' END ||
+                          ' (Status ' || CAST(status AS VARCHAR) || ')'
+                        WHEN 'redirect' THEN 'URL redirects (' || CAST(status AS VARCHAR) ||
+                          ') - update sitemap with final destination'
+                        WHEN 'noindex' THEN 'URL has noindex directive - remove from sitemap or remove noindex'
+                        ELSE 'URL canonicalises to ' || canonical || ' - update sitemap with canonical URL'
+                   END AS details
+            FROM c WHERE cls IN ('error', 'redirect', 'noindex', 'non_canonical')
+        """,
+        "s2_size_gate": """
+            WITH f AS (
+              SELECT 'https://z.example/p' || CAST(event_id AS VARCHAR) AS url,
+                     CAST(event_id AS BIGINT) AS seq,
+                     event_id % 9 = 5 AS failed,
+                     CAST(1000 + (event_id % 7) * 300000 AS BIGINT) AS size0
+              FROM events
+            )
+            SELECT url, seq,
+                   CAST(CASE WHEN failed THEN 0
+                             WHEN size0 > 1000000 THEN 0 ELSE 200 END AS INT) AS status_code,
+                   CASE WHEN NOT failed AND size0 > 1000000 THEN 0 ELSE size0 END AS size,
+                   CASE WHEN failed THEN 'dns failure'
+                        WHEN size0 > 1000000
+                        THEN 'File too large: ' || CAST(size0 AS VARCHAR) || ' bytes'
+                        ELSE NULL END AS error
+            FROM f
+        """,
+        "f9_budget_cut": """
+            SELECT 'https://b.example/p' || CAST(event_id AS VARCHAR) AS url,
+                   CAST(event_id AS BIGINT) AS seq
+            FROM events WHERE event_id % 3 <> 1
+            ORDER BY seq LIMIT 500
+        """,
         "a7_sitemap_health": """
             WITH sm0 AS (
               SELECT 'https://s.example/p' || CAST(p_partkey AS VARCHAR) ||
@@ -1398,11 +1625,8 @@ def oracle_sql() -> dict[str, str]:
               FROM part WHERE p_partkey % 4 = 0
             ),
             sm AS (
-              SELECT DISTINCT sitemap_url,
-                     CASE WHEN regexp_matches(lower(trim(sitemap_url)), '^https?://[^/]+/$')
-                          THEN lower(trim(sitemap_url))
-                          ELSE regexp_replace(regexp_replace(lower(trim(sitemap_url)), '#.*$', ''), '/$', '')
-                     END AS _k
+              SELECT sitemap_url,
+                     regexp_replace(regexp_replace(lower(sitemap_url), '#.*$', ''), '/+$', '') AS _k
               FROM sm0
             ),
             pg AS (
@@ -1417,17 +1641,19 @@ def oracle_sql() -> dict[str, str]:
                   FROM sm LEFT JOIN pg ON sm._k = pg._k),
             c AS (
               SELECT CASE WHEN crawled_url IS NULL THEN 'not_crawled'
-                          WHEN status >= 400 THEN 'error'
+                          WHEN status >= 400 OR status = 0 THEN 'error'
                           WHEN status >= 300 AND status < 400 THEN 'redirect'
                           WHEN contains(robots, 'noindex') THEN 'noindex'
-                          WHEN len(canonical) > 0 AND lower(trim(canonical)) <> _k THEN 'non_canonical'
+                          WHEN len(canonical) > 0 AND
+                               regexp_replace(regexp_replace(lower(canonical), '#.*$', ''), '/+$', '') <> _k
+                               THEN 'non_canonical'
                           ELSE 'valid' END AS cls
               FROM j
             )
             SELECT count(*) AS total,
                    CAST(sum(CASE WHEN cls = 'valid' THEN 1 ELSE 0 END) AS BIGINT) AS valid,
-                   CAST(sum(CASE WHEN cls = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
-                   CAST(sum(CASE WHEN cls = 'redirect' THEN 1 ELSE 0 END) AS BIGINT) AS redirect,
+                   CAST(sum(CASE WHEN cls = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+                   CAST(sum(CASE WHEN cls = 'redirect' THEN 1 ELSE 0 END) AS BIGINT) AS redirects,
                    CAST(sum(CASE WHEN cls = 'noindex' THEN 1 ELSE 0 END) AS BIGINT) AS noindex,
                    CAST(sum(CASE WHEN cls = 'non_canonical' THEN 1 ELSE 0 END) AS BIGINT) AS non_canonical,
                    CAST(sum(CASE WHEN cls = 'not_crawled' THEN 1 ELSE 0 END) AS BIGINT) AS not_crawled
@@ -1446,25 +1672,28 @@ def oracle_sql() -> dict[str, str]:
               FROM part
             ),
             redirecting AS (
-              SELECT CASE WHEN regexp_matches(n1, '^https?://[^/]+/$') THEN n1
-                          ELSE regexp_replace(n1, '/$', '') END AS _t,
-                     url AS redirect_url
-              FROM (SELECT regexp_replace(lower(trim(url)), '#.*$', '') AS n1, url
-                    FROM pages WHERE status >= 300 AND status < 400)
+              SELECT regexp_replace(regexp_replace(lower(url), '#.*$', ''), '/+$', '') AS _t,
+                     url AS redirect_url, status
+              FROM pages WHERE status >= 300 AND status < 400
             ),
             l2 AS (
-              SELECT source_url,
-                     CASE WHEN regexp_matches(n1, '^https?://[^/]+/$') THEN n1
-                          ELSE regexp_replace(n1, '/$', '') END AS _t
-              FROM (SELECT source_url, regexp_replace(lower(trim(target_url)), '#.*$', '') AS n1
-                    FROM links)
+              SELECT source_url, target_url,
+                     regexp_replace(regexp_replace(lower(target_url), '#.*$', ''), '/+$', '') AS _t
+              FROM links
             ),
-            j AS (SELECT l2.source_url, r.redirect_url FROM l2 JOIN redirecting r USING (_t))
+            j AS (SELECT l2.source_url, l2.target_url, r.status AS tstat
+                  FROM l2 JOIN redirecting r USING (_t))
             SELECT source_url AS url, 'warning' AS type, 'Links' AS category,
-                   'Internal Links to Redirects' AS issue,
-                   CAST(count(*) AS VARCHAR) || ' internal links point to redirecting URLs' AS details,
+                   'Links: Internal Links to Redirects' AS issue,
+                   CAST(count(*) AS VARCHAR) || ' internal links point to redirecting URLs: ' ||
+                   array_to_string(list_slice(
+                     list(target_url || ' (' || CAST(tstat AS VARCHAR) || ')'
+                          ORDER BY target_url, tstat), 1, 3), ', ') ||
+                   CASE WHEN count(*) > 3
+                        THEN ', and ' || CAST(count(*) - 3 AS VARCHAR) || ' more'
+                        ELSE '' END AS details,
                    count(*) AS n_links_to_redirects,
-                   string_agg(DISTINCT redirect_url, ',' ORDER BY redirect_url) AS redirect_targets
+                   string_agg(DISTINCT target_url, ',' ORDER BY target_url) AS redirect_targets
             FROM j GROUP BY source_url
         """,
         "j6_hreflang_reciprocity": """
@@ -1478,11 +1707,16 @@ def oracle_sql() -> dict[str, str]:
                      'https://h.example/' || CAST(doc_id + 3 AS VARCHAR)
               FROM documents WHERE doc_id % 5 = 0
             ),
-            e2 AS (SELECT * FROM e WHERE target <> source),
-            back AS (SELECT DISTINCT source AS b_source, target AS b_target FROM e2)
+            pg AS (SELECT DISTINCT 'https://h.example/' || CAST(doc_id AS VARCHAR) AS url
+                   FROM documents),
+            -- reference gate (issue_detector.py:1910): only edges whose
+            -- target itself carries hreflangs (= is a crawled page here)
+            e2 AS (SELECT e.* FROM e JOIN pg ON e.target = pg.url),
+            back AS (SELECT DISTINCT source AS b_source, target AS b_target FROM e)
             SELECT e2.source AS url, 'warning' AS type, 'International' AS category,
-                   'Hreflang: Missing Return Link' AS issue,
-                   'hreflang to ' || e2.target || ' has no return link' AS details,
+                   'Hreflang: Missing Reciprocal Link' AS issue,
+                   'Page points to ' || e2.target || ' (' || e2.lang ||
+                   ') but target does not point back' AS details,
                    e2.target AS hreflang_target, e2.lang AS lang
             FROM e2 LEFT JOIN back ON e2.target = back.b_source AND e2.source = back.b_target
             WHERE back.b_source IS NULL
@@ -1491,19 +1725,27 @@ def oracle_sql() -> dict[str, str]:
             WITH p AS (
               SELECT 'https://c.example/' || CAST(doc_id AS VARCHAR) AS url,
                      lower(trim('Title ' || substr(text, 1, 10 + CAST(doc_id % 40 AS INT)))) AS t,
-                     lower(trim('Desc ' || substr(text, 20, 30))) AS d
+                     lower(trim('Desc ' || substr(text, 20, 30))) AS d,
+                     lower(trim(substr(text, 5, 12))) AS h
               FROM documents WHERE doc_id % 97 = 0
             ),
-            f AS (SELECT url, t, d FROM p WHERE len(t) > 0 AND len(d) > 0),
+            f AS (SELECT url, len(t) AS lt, len(d) AS ld, len(h) AS lh
+                  FROM p WHERE len(t) > 0 AND len(d) > 0 AND len(h) > 0),
             b AS (
-              SELECT url, t,
-                     CAST(floor(ln(CAST(greatest(len(t), 1) AS DOUBLE))
-                          / ln(1.0 / (((0.85 - 0.65) / 0.35) / (2.0 - (0.85 - 0.65) / 0.35)))) AS INT) AS band
+              SELECT url, lt, ld, lh,
+                     CAST(floor(ln(CAST(greatest(lt, 1) AS DOUBLE))
+                          / ln(1.0 / (((0.85 - 0.65) / 0.35) / (2.0 - (0.85 - 0.65) / 0.35)))) AS INT) AS band,
+                     CAST(floor(ln(CAST(greatest(ld, 1) AS DOUBLE))
+                          / ln(1.0 / (((0.85 - 0.65) / 0.35) / (2.0 - (0.85 - 0.65) / 0.35)))) AS INT) AS dband
               FROM f
             ),
-            l AS (SELECT url, unnest([band - 1, band, band + 1]) AS probe FROM b)
+            l AS (SELECT url, lt, ld, lh, band + x.o AS probe, dband + y.o AS dprobe
+                  FROM b, (VALUES (-1), (0), (1)) x(o), (VALUES (-1), (0), (1)) y(o))
             SELECT DISTINCT a.url AS url_a, r.url AS url_b
-            FROM l a JOIN b r ON a.probe = r.band AND a.url < r.url
+            FROM l a JOIN b r ON a.probe = r.band AND a.dprobe = r.dband AND a.url < r.url
+              AND 2.0 * least(a.lt, r.lt) >= ((0.85 - 0.65) / 0.35) * (a.lt + r.lt) - 1e-9
+              AND 2.0 * least(a.ld, r.ld) >= ((0.85 - 0.65) / 0.35) * (a.ld + r.ld) - 1e-9
+              AND 2.0 * least(a.lh, r.lh) >= ((0.85 - 0.80) / 0.20) * (a.lh + r.lh) - 1e-9
         """,
         "c14_backoff_math": """
             WITH r AS (
@@ -1805,19 +2047,15 @@ def oracle_sql() -> dict[str, str]:
         # round-4 on both sides (see operators/similarity.py): immune to
         # summation-order epsilon between engines at the threshold
         "sim_neardup_exact": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(
+            WITH raw AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                      list_sum(list_transform(range(1, len(a.embedding) + 1),
                               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
                      / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-                        * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
-                   4) AS cos_sim
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE round(
-                     list_sum(list_transform(range(1, len(a.embedding) + 1),
-                              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-                     / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-                        * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
-                   4) >= 0.4
+                        * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))
+                     AS cs
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM raw WHERE cs >= 0.4
         """,
     }

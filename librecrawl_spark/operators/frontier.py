@@ -430,13 +430,15 @@ def policy_gate(df: DataFrame, hosts: DataFrame, base_domain: str,
         _, _, hof_ok = native_policy_exprs(F.col(url_col), base_domain, config)
         single = (F.coalesce("n_rules", F.lit(0)) <= 1) if config.respect_robots \
             else F.lit(True)
-        fast_part = (
-            j.filter(eligible & single)
-            .withColumn("policy_ok", fast_ok).select(*slim)
-        )
-        hof_part = (
-            j.filter(eligible & ~single).withColumn("_m_", m)
-            .withColumn("policy_ok", hof_ok).select(*slim)
+        # ONE scan for both native tiers: CaseWhen evaluates lazily, so
+        # single-rule rows stay on the codegen'd fast expression and only
+        # multi-rule rows pay the interpreted array-lambda walk — the
+        # former fast/hof filter+union pair re-scanned the joined frame
+        # twice for the same result (round-4: -1 scan, -1 union input)
+        native_part = (
+            j.filter(eligible).withColumn("_m_", m)
+            .withColumn("policy_ok", F.when(single, fast_ok).otherwise(hof_ok))
+            .select(*slim)
         )
         udf_part = (
             j.filter(~eligible)
@@ -444,7 +446,7 @@ def policy_gate(df: DataFrame, hosts: DataFrame, base_domain: str,
             .withColumn("policy_ok", policy_udf(F.col(url_col), F.col("robots_txt")))
             .select(*slim)
         )
-        return fast_part.unionByName(hof_part).unionByName(udf_part)
+        return native_part.unionByName(udf_part)
     return (
         df.join(F.broadcast(hosts.select("host", "robots_txt")), "host", "left")
         .withColumn("policy_ok", policy_udf(F.col(url_col), F.col("robots_txt")))
@@ -453,12 +455,17 @@ def policy_gate(df: DataFrame, hosts: DataFrame, base_domain: str,
 
 
 def ordered_seq_by_key(df: DataFrame, key_col: str, start: int,
-                       out_col: str = "seq") -> DataFrame:
+                       out_col: str = "seq"):
     """Contiguous global sequence in ``key_col`` (string) order without a
     single-partition window: range-repartition by the key, count rows per
     (ordered, disjoint) partition, broadcast prefix-sum offsets, rank
     within partitions in parallel. The string-key sibling of
-    add_global_seq (whose range bucketing needs a numeric lead)."""
+    add_global_seq (whose range bucketing needs a numeric lead).
+
+    Returns (df_with_seq, cache_handle); the caller unpersists the
+    handle once the result is materialized (same contract as
+    schedule_wave's handle — keeps the repartitioned cache from living
+    for the rest of the crawl)."""
     spark = df.sparkSession
     n_part = default_seq_buckets(spark)
     d = df.repartitionByRange(n_part, F.col(key_col)).withColumn(
@@ -467,7 +474,7 @@ def ordered_seq_by_key(df: DataFrame, key_col: str, start: int,
     counts = {r["_pid"]: r["count"] for r in d.groupBy("_pid").count().collect()}
     if not counts:
         d.unpersist()
-        return df.withColumn(out_col, F.lit(start).cast("long"))
+        return df.withColumn(out_col, F.lit(start).cast("long")), None
     offsets, acc = {}, start
     for k in sorted(counts):
         offsets[k] = acc
@@ -476,11 +483,12 @@ def ordered_seq_by_key(df: DataFrame, key_col: str, start: int,
         spark.createDataFrame(list(offsets.items()), schema="_pid int, _off long")
     )
     w = Window.partitionBy("_pid").orderBy(key_col)
-    return (
+    out = (
         d.join(odf, "_pid")
         .withColumn(out_col, (F.col("_off") + F.row_number().over(w) - 1).cast("long"))
         .drop("_pid", "_off")
     )
+    return out, d
 
 
 def schedule_wave(

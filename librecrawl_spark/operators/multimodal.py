@@ -168,7 +168,10 @@ def image_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
 def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:
     """Frame sampling for video: expands each video row into one row per
-    sampled frame (flatMap shape via mapInPandas)."""
+    sampled frame (flatMap shape via mapInPandas). The frame SCHEDULE is
+    real — duration comes from the payload's actual MP4 moov/mvhd box
+    when present (parse_mp4_header, stdlib struct walk), falling back to
+    the meta column; only the frame DECODE is faked (needs ffmpeg)."""
 
     def run(batches):
         import pandas as pd
@@ -178,8 +181,12 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> 
             for r in pdf.itertuples(index=False):
                 if not fake:
                     raise NotImplementedError("real frame decode requires ffmpeg")
-                dur = (r.meta["duration_ms"] or 0) if r.meta is not None else 0
                 payload = bytes(r.payload) if r.payload is not None else b""
+                hdr = parse_mp4_header(payload)
+                if hdr is not None:
+                    dur = hdr[2]
+                else:
+                    dur = (r.meta["duration_ms"] or 0) if r.meta is not None else 0
                 for i, ts in enumerate(range(0, max(dur, 1), every_ms)):
                     h = hashlib.sha256(payload + ts.to_bytes(4, "big")).hexdigest()[:16]
                     rows.append({"media_id": r.media_id, "frame_idx": i,
@@ -197,8 +204,11 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic media fixture for tests: images carry REAL bytes
-    (valid PNGs / JPEG headers with varying dimensions, so the header
-    parser is exercised end-to-end); videos stay opaque hash bytes."""
+    (valid PNGs / JPEG headers with varying dimensions) and videos carry
+    REAL ISO-BMFF bytes (ftyp + moov/mvhd with varying timescales and
+    both mvhd versions), so every header parser is exercised
+    end-to-end. The video meta duration is deliberately WRONG (0) to
+    prove the frame scheduler reads the payload's mvhd box."""
     rows = []
     for i in range(n):
         kind = "image" if i % 3 else "video"
@@ -209,8 +219,10 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             mime = "image/png" if i % 2 else "image/jpeg"
             meta = (mime, w, h, 0)
         else:
-            payload = hashlib.sha256(f"media{i}".encode()).digest() * 4
-            meta = ("video/mp4", 64, 48, 3000 + i * 100)
+            payload = make_test_mp4(3000 + i * 100,
+                                    timescale=90000 if i % 2 else 1000,
+                                    version=i % 2)
+            meta = ("video/mp4", 64, 48, 0)
         rows.append((f"m{i}", kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
@@ -398,3 +410,79 @@ def synthetic_audio(spark, n: int = 32) -> DataFrame:
         meta = ("audio/wav", 0, 0, int(n_samples * 1000 / rate))
         rows.append((f"a{i}", "audio", bytearray(payload), meta))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def parse_mp4_header(payload) -> tuple[str, int, int] | None:
+    """REAL MP4/ISO-BMFF metadata from the box tree — stdlib struct
+    reads, no codec (same pattern as the MP3/WAV/FLAC parsers): walk
+    top-level boxes (32-bit size + fourcc, size==1 -> 64-bit largesize),
+    find ``moov``, then ``mvhd`` inside it; duration_ms = duration /
+    timescale * 1000 (mvhd version 0: 32-bit fields, version 1: 64-bit).
+    Returns (mime, timescale, duration_ms) or None when the payload is
+    not an ISO media file."""
+    if not payload:
+        return None
+    b = bytes(payload)
+    if len(b) < 16 or b[4:8] != b"ftyp":
+        return None
+
+    def walk(lo: int, hi: int):
+        off = lo
+        while off + 8 <= hi:
+            size = struct.unpack(">I", b[off:off + 4])[0]
+            typ = b[off + 4:off + 8]
+            body = off + 8
+            if size == 1:
+                if off + 16 > hi:
+                    return
+                size = struct.unpack(">Q", b[off + 8:off + 16])[0]
+                body = off + 16
+            if size == 0:
+                size = hi - off
+            if size < 8 or off + size > hi:
+                return
+            yield typ, body, off + size
+            off += size
+
+    for typ, body, end in walk(0, len(b)):
+        if typ != b"moov":
+            continue
+        for t2, b2, e2 in walk(body, end):
+            if t2 != b"mvhd":
+                continue
+            version = b[b2]
+            if version == 1 and e2 - b2 >= 32:
+                timescale = struct.unpack(">I", b[b2 + 20:b2 + 24])[0]
+                duration = struct.unpack(">Q", b[b2 + 24:b2 + 32])[0]
+            elif version == 0 and e2 - b2 >= 20:
+                timescale = struct.unpack(">I", b[b2 + 12:b2 + 16])[0]
+                duration = struct.unpack(">I", b[b2 + 16:b2 + 20])[0]
+            else:
+                return None
+            if timescale <= 0:
+                return None
+            return ("video/mp4", timescale, int(duration * 1000 / timescale))
+    return None
+
+
+def make_test_mp4(duration_ms: int, timescale: int = 1000,
+                  version: int = 0) -> bytes:
+    """Minimal REAL ISO-BMFF bytes: ftyp + moov(mvhd) with the given
+    timescale/duration, valid for parse_mp4_header and any box walker."""
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0x200)
+    duration = duration_ms * timescale // 1000
+    if version == 0:
+        mvhd_body = (bytes([0, 0, 0, 0])              # version 0 + flags
+                     + struct.pack(">II", 0, 0)        # ctime, mtime
+                     + struct.pack(">I", timescale)
+                     + struct.pack(">I", duration)
+                     + b"\x00" * 80)                   # rate..next_track_id
+    else:
+        mvhd_body = (bytes([1, 0, 0, 0])
+                     + struct.pack(">QQ", 0, 0)
+                     + struct.pack(">I", timescale)
+                     + struct.pack(">Q", duration)
+                     + b"\x00" * 80)
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    return ftyp + moov

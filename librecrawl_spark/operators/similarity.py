@@ -165,13 +165,15 @@ def exact_near_dups(df: DataFrame, threshold: float = 0.95,
     nb = F.expr(
         "sqrt(aggregate(vb, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))"
     )
-    # round-4 (not 6) for both the emitted value and the threshold
-    # filter: independent engines (Spark sequential fold vs an oracle's
-    # list_sum) may sum in different order, and a pair within float
-    # epsilon of the threshold could flip a round-6 comparison; at 4
-    # decimals a flip needs a 5e-5 summation divergence — impossible for
-    # unit-norm dots of this length
+    # admission filters on the UNROUNDED value (reference-exact: a
+    # 0.94996 pair must NOT pass at 0.95); only the emitted display
+    # value is rounded (6 decimals, same as cosine_topk). Summation
+    # reorder between engines perturbs a 64-dim unit dot by ~1e-14,
+    # far below both the round-6 display step and any realistic
+    # distance-to-threshold, so cross-engine hashes stay stable.
     return (
-        pairs.select("id_a", "id_b", F.round(dot / (na * nb), 4).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
+        pairs.select("id_a", "id_b",
+                     (dot / (na * nb)).alias("_raw"))
+        .filter(F.col("_raw") >= threshold)
+        .select("id_a", "id_b", F.round("_raw", 6).alias("cos_sim"))
     )

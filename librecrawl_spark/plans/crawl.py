@@ -49,6 +49,34 @@ class CrawlResult:
     traps: DataFrame         # pattern, example_url, count
     lineage: list = field(default_factory=list)
     stats: dict = field(default_factory=dict)
+    # unique parsed sitemap page URLs (crawler.py:366) — the J3 input;
+    # None when sitemap discovery was off or the crawl resumed
+    sitemap_urls: DataFrame | None = None
+
+    def issues(self, *, duplication_threshold: float = 0.85,
+               enable_duplication_check: bool = True,
+               exclusion_patterns: tuple[str, ...] = ()) -> DataFrame:
+        """The full issue report in one call — the engine analogue of
+        the reference's /api/crawl_status issues list (main.py:968-1003):
+        per-page + whole-crawl + sitemap issue rows when the crawl
+        discovered a sitemap."""
+        from librecrawl_spark.operators.issues import detect_all_issues
+
+        return detect_all_issues(
+            self.pages, self.links, sitemap_urls=self.sitemap_urls,
+            duplication_threshold=duplication_threshold,
+            enable_duplication_check=enable_duplication_check,
+            exclusion_patterns=tuple(exclusion_patterns),
+        )
+
+    def sitemap_health(self) -> DataFrame | None:
+        """A7 dirty-sitemap tallies (issue_detector.py:1617-1626), or
+        None when no sitemap was discovered."""
+        if self.sitemap_urls is None:
+            return None
+        from librecrawl_spark.operators.issues import sitemap_health
+
+        return sitemap_health(self.sitemap_urls, self.pages)
 
 
 class CrawlEngine:
@@ -76,6 +104,8 @@ class CrawlEngine:
         self.tio = TableIO(checkpoint_dir) if checkpoint_dir else None
         self.max_waves = max_waves
         self.sitemap_bodies = sitemap_bodies or {}
+        self._sitemap_locs_raw: list[str] | None = None
+        self._sitemap_urls_df = None
 
     @staticmethod
     def _with_hash(df: DataFrame) -> DataFrame:
@@ -109,6 +139,7 @@ class CrawlEngine:
         # nested indexes resolve through sitemap_bodies, depth-first,
         # bounded at 10 levels, page URLs in document order
         locs = recursive_locs(rows[0]["sitemap_xml"], self.sitemap_bodies)
+        self._sitemap_locs_raw = list(locs)
 
         cfg = self.config
         loc_hosts = {urlparse(u).netloc for u in locs}
@@ -181,6 +212,7 @@ class CrawlEngine:
                 schema="sitemap_url string, sitemap_xml string",
             )
         pages = discover_sitemap_page_urls_ordered(base_hosts, body_lookup)
+        self._sitemap_urls_df = pages.select("url").distinct()
         urls = pages.select("url", "okey").withColumn("host", FR.host_of(F.col("url")))
         gated = FR.policy_gate(urls, self.hosts, self.base_domain, self.config,
                                url_col="url", keep=("okey",))
@@ -210,12 +242,15 @@ class CrawlEngine:
                 sm.join(pending.select("url"), "url", "left_anti")
                 .groupBy("url").agg(F.min("okey").alias("okey"))
             )
-            extra = FR.ordered_seq_by_key(extra, "okey", start=next_seq).select(
+            extra, seq_cache = FR.ordered_seq_by_key(extra, "okey", start=next_seq)
+            extra = extra.select(
                 "url", F.lit(0).alias("depth"), "seq", F.lit(0).alias("wave"),
                 F.lit(0).alias("retry_count"), F.lit(0).alias("ready_wave"),
             )
             pending = pending.unionByName(extra).persist()
             next_seq = pending.count()
+            if seq_cache is not None:
+                seq_cache.unpersist()
         return {
             "pending": pending,
             "seen": self._with_hash(pending.select("url", "depth", "seq")),
@@ -368,9 +403,17 @@ class CrawlEngine:
             # report links: dedup on (source,target) keeping first in doc
             # order (link_manager.py:189-195; pages are fetched once, so
             # within-page dedup == global dedup)
+            # (src_wave, src_seq, pos) is the all_links collection order
+            # the J4/J5 issue details replay (link_manager.py:120-199:
+            # appended per fetched page in fetch order, per-page in doc
+            # order) — kept as columns so the issue joins stay sort-free
             wave_links = (
-                pages.select("url", F.posexplode("links").alias("pos", "l"))
-                .select("pos", "l.*")
+                pages.select(
+                    "url", F.col("wave").alias("src_wave"),
+                    F.col("seq").alias("src_seq"),
+                    F.posexplode("links").alias("pos", "l"),
+                )
+                .select("src_wave", "src_seq", "pos", "l.*")
                 .withColumn(
                     "_rn",
                     F.row_number().over(
@@ -378,7 +421,7 @@ class CrawlEngine:
                     ),
                 )
                 .filter("_rn = 1")
-                .drop("_rn", "pos")
+                .drop("_rn")
             )
 
             cands = (
@@ -467,7 +510,8 @@ class CrawlEngine:
 
     def _empty_links(self) -> DataFrame:
         return self.spark.createDataFrame(
-            [], schema=f"{X.LINK_STRUCT}".replace(": ", " ")
+            [], schema="src_wave int, src_seq long, pos int, "
+                       f"{X.LINK_STRUCT}".replace(": ", " ")
         )
 
     def _empty_sources(self) -> DataFrame:
@@ -518,7 +562,14 @@ class CrawlEngine:
             "waves": st["wave"],
             "resumed": resumed,
         }
-        return CrawlResult(pages_all, links_all, st["seen"], traps_out, lineage, stats)
+        # J3 input: unique parsed sitemap URLs (crawler.py:366's
+        # list(set(...))) from whichever bootstrap path ran
+        sm_df = self._sitemap_urls_df
+        if sm_df is None and self._sitemap_locs_raw:
+            sm_df = self.spark.createDataFrame(
+                [(u,) for u in dict.fromkeys(self._sitemap_locs_raw)], "url string")
+        return CrawlResult(pages_all, links_all, st["seen"], traps_out, lineage,
+                           stats, sitemap_urls=sm_df)
 
     @staticmethod
     def _union(parts: list[DataFrame]) -> DataFrame | None:

@@ -85,17 +85,117 @@ def test_per_page_issue_unit_rows(spark):
 
 def test_per_page_issues_match_manual(pages):
     """Spot-check exact per-row agreement with a transcription for the
-    title checks (issue_detector.py:88-151)."""
+    title checks (issue_detector.py:88-151): every LIVE result with an
+    empty title gets the row — no content-type gating (the reference
+    runs detect_issues on every crawl result, crawler.py:813)."""
     pg, _ = pages
-    rows = pg.select("url", "title", "status_code", "content_type", "error").collect()
+    rows = pg.select("url", "title", "status_code").collect()
     iss = I.per_page_issues(pg)
     got_missing = {r["url"] for r in iss.filter(F.col("issue").startswith("Missing Title Tag")).collect()}
     want_missing = {
         r["url"] for r in rows
-        if "text/html" in (r["content_type"] or "") and r["error"] is None
-        and not (r["title"] or "")
+        if (r["status_code"] or 0) != 0 and not (r["title"] or "")
     }
     assert got_missing == want_missing
+
+
+def _oracle_replay(pg_rows, link_rows, exclusion_patterns=(),
+                   sitemap_urls=None, threshold=0.85):
+    """Replay the reference pipeline over collected rows in fetch order:
+    detect_issues per result (crawler.py:813), then the whole-crawl
+    detectors (main.py's issue aggregation)."""
+    from librecrawl_spark.oracle.refissues import RefIssueDetector
+
+    det = RefIssueDetector(exclusion_patterns)
+    for r in pg_rows:
+        det.detect_issues(r)
+    if sitemap_urls is not None:
+        det.detect_sitemap_issues(sitemap_urls, pg_rows)
+    det.detect_links_to_redirects(pg_rows, link_rows)
+    det.detect_broken_link_sources(pg_rows, link_rows)
+    det.detect_hreflang_issues(pg_rows)
+    det.detect_duplication_issues(pg_rows, threshold)
+    return det
+
+
+def _issue_key(i):
+    return (i["url"], i["type"], i["category"], i["issue"], i["details"])
+
+
+def test_engine_matches_reference_oracle(pages):
+    """THE issue-engine parity gate: detect_all_issues must equal the
+    pure-Python reference transcription (oracle/refissues.py) as a
+    MULTISET of (url, type, category, issue, details) rows over the
+    crawl fixture — every label, severity and details string."""
+    from collections import Counter
+
+    pg, links = pages
+    pg_rows = [r.asDict(recursive=True) for r in pg.orderBy("wave", "seq").collect()]
+    link_rows = [r.asDict() for r in
+                 links.orderBy("src_wave", "src_seq", "pos").collect()]
+    det = _oracle_replay(pg_rows, link_rows)
+    want = Counter(_issue_key(i) for i in det.get_issues())
+    got = Counter(_issue_key(r.asDict())
+                  for r in I.detect_all_issues(pg, links).collect())
+    missing = want - got
+    extra = got - want
+    assert not missing and not extra, (
+        f"missing {len(missing)}: {list(missing)[:5]}\n"
+        f"extra {len(extra)}: {list(extra)[:5]}")
+    # the fixture must reach a meaningful breadth of families
+    cats = {k[2] for k in got}
+    assert {"SEO", "Technical", "Links", "Security"} <= cats
+
+
+def test_engine_matches_reference_oracle_with_exclusions(pages):
+    """Same gate with detect-time exclusion patterns: site-wide rows
+    must re-attribute to the first NON-excluded page exactly like the
+    reference's _should_exclude early return."""
+    from collections import Counter
+
+    pg, links = pages
+    pats = ("/page/*",)
+    pg_rows = [r.asDict(recursive=True) for r in pg.orderBy("wave", "seq").collect()]
+    link_rows = [r.asDict() for r in
+                 links.orderBy("src_wave", "src_seq", "pos").collect()]
+    det = _oracle_replay(pg_rows, link_rows, exclusion_patterns=pats)
+    # read-time re-filter (main.py:409-441) over the whole list
+    kept = [i for i in det.get_issues()
+            if not det._should_exclude(i["url"])]
+    want = Counter(_issue_key(i) for i in kept)
+    got = Counter(_issue_key(r.asDict())
+                  for r in I.detect_all_issues(pg, links,
+                                               exclusion_patterns=pats).collect())
+    assert got == want
+
+
+def test_sitemap_issue_rows_match_oracle(spark, pages):
+    """Sitemap: Broken/Redirecting/Noindexed/Non-Canonical rows + health
+    tallies vs detect_sitemap_issues (issue_detector.py:1492-1626)."""
+    from collections import Counter
+
+    pg, _ = pages
+    pg_rows = [r.asDict(recursive=True) for r in pg.orderBy("wave", "seq").collect()]
+    # sitemap list: every crawled URL plus variants exercising each class
+    sm_urls = [r["url"] for r in pg_rows]
+    sm_urls += ["https://site0.example/never-crawled-1",
+                "https://site0.example/never-crawled-2"]
+    from librecrawl_spark.oracle.refissues import RefIssueDetector
+
+    det = RefIssueDetector()
+    summary = det.detect_sitemap_issues(sm_urls, pg_rows)
+    want = Counter(_issue_key(i) for i in summary["issues"])
+    sm = spark.createDataFrame([(u,) for u in sm_urls], "url string")
+    got = Counter(_issue_key(r.asDict())
+                  for r in I.sitemap_issue_rows(sm, pg).collect())
+    assert got == want
+    h = I.sitemap_health(sm, pg).collect()[0].asDict()
+    # engine health counts sitemap URLs after DISTINCT on normalized key;
+    # the oracle counts the raw list — this fixture has no normalized
+    # duplicates, so the tallies must agree key-for-key
+    for k in ("total", "valid", "errors", "redirects", "noindex",
+              "non_canonical", "not_crawled"):
+        assert h[k] == summary[k], (k, h, summary)
 
 
 def test_broken_link_sources(pages):
@@ -394,3 +494,55 @@ def test_detect_all_issues_union(pages):
     kept = I.detect_all_issues(pg, links, exclusion_patterns=("*/page/*",))
     assert kept.filter(F.col("url").contains("/page/")).count() == 0
     assert kept.count() < len(allr)
+
+
+def test_crawl_result_issue_surface(spark):
+    """CrawlResult.issues() is the one-call full report (reference
+    /api/crawl_status, main.py:968-1003): includes the Sitemap category
+    when the crawl discovered a sitemap, and equals the oracle replay
+    fed the same unique sitemap URL list (crawler.py:601-603)."""
+    from collections import Counter
+
+    from librecrawl_spark.config import CrawlConfig
+    from librecrawl_spark.fixtures.sitegen import SiteGenConfig, generate_site, site_to_spark
+    from librecrawl_spark.plans.crawl import CrawlEngine
+
+    site = generate_site(SiteGenConfig(seed=7, n_hosts=3, pages_base_host=12,
+                                       pages_other_host=4))
+    docs, hosts, _ = site_to_spark(spark, site)
+    res = CrawlEngine(spark, docs, hosts, site.base_url,
+                      CrawlConfig(max_depth=3, max_urls=60,
+                                  discover_sitemaps=True),
+                      seed_urls=[s["url"] for s in site.seeds]).run()
+    assert res.sitemap_urls is not None
+    sm_urls = sorted(r["url"] for r in res.sitemap_urls.collect())
+    pg_rows = [r.asDict(recursive=True)
+               for r in res.pages.orderBy("wave", "seq").collect()]
+    link_rows = [r.asDict()
+                 for r in res.links.orderBy("src_wave", "src_seq", "pos").collect()]
+    det = _oracle_replay(pg_rows, link_rows, sitemap_urls=sm_urls)
+    want = Counter(_issue_key(i) for i in det.get_issues())
+    got = Counter(_issue_key(r.asDict()) for r in res.issues().collect())
+    assert got == want
+    health = res.sitemap_health().collect()[0].asDict()
+    summary = __import__("librecrawl_spark.oracle.refissues",
+                         fromlist=["RefIssueDetector"]).RefIssueDetector(
+                         ).detect_sitemap_issues(sm_urls, pg_rows)
+    for k in ("total", "valid", "errors", "redirects", "noindex",
+              "non_canonical", "not_crawled"):
+        assert health[k] == summary[k], (k, health, summary)
+
+
+def test_dup_approx_minhash_scale_path(pages):
+    """The opt-in MinHash-banded blocking (10^7+ page scale path) is a
+    strict subset of the exact path's verified pairs (the verify stage
+    is identical) and keeps every pair on this fixture — its titles sit
+    at shingle-Jaccard >= 0.8 where band recall is ~98.6% and the
+    md5-based minhash is deterministic."""
+    pg, _ = pages
+    exact = {(r["url_a"], r["url_b"])
+             for r in I.duplicate_content_pairs(pg).collect()}
+    approx = {(r["url_a"], r["url_b"])
+              for r in I.duplicate_content_pairs(pg, approx_minhash=True).collect()}
+    assert approx <= exact
+    assert approx == exact, f"minhash band dropped {exact - approx}"

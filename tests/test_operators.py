@@ -429,3 +429,35 @@ class TestWinnowing:
         assert out["tiny"] == (0, "")
         assert out["five"][0] == 1
         assert out["seven"][0] == 1  # min over 3 grams, window > doc
+
+
+class TestVideoHeader:
+    def test_mp4_header_parse_pure(self):
+        from librecrawl_spark.operators.multimodal import (
+            make_test_mp4, parse_mp4_header)
+
+        assert parse_mp4_header(make_test_mp4(3000, 1000, version=0)) \
+            == ("video/mp4", 1000, 3000)
+        assert parse_mp4_header(make_test_mp4(7500, 90000, version=1)) \
+            == ("video/mp4", 90000, 7500)
+        assert parse_mp4_header(make_test_mp4(0, 600)) == ("video/mp4", 600, 0)
+        assert parse_mp4_header(b"not an mp4 file!") is None
+        assert parse_mp4_header(b"") is None
+        # truncated moov: size field points past the buffer -> None
+        broken = make_test_mp4(3000, 1000)[:-10]
+        assert parse_mp4_header(broken) is None
+
+    def test_sample_frames_uses_real_mvhd_duration(self, spark):
+        """The frame schedule must come from the payload's mvhd box —
+        the fixture's meta.duration_ms is deliberately 0."""
+        from librecrawl_spark.operators.multimodal import (
+            sample_frames, synthetic_media)
+
+        m = synthetic_media(spark, 12)
+        frames = sample_frames(m, every_ms=1000)
+        per_vid = {r["media_id"]: r["n"] for r in
+                   frames.groupBy("media_id").count()
+                   .withColumnRenamed("count", "n").collect()}
+        # videos are i % 3 == 0 -> m0, m3, m6, m9 with durations
+        # 3000 + i*100 ms -> 3000, 3300, 3600, 3900 -> 3, 4, 4, 4 frames
+        assert per_vid == {"m0": 3, "m3": 4, "m6": 4, "m9": 4}
