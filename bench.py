@@ -198,6 +198,39 @@ def bench_queries(spark, sf_dir: str) -> dict:
     return out
 
 
+def _merge_suite_state(q: dict, fr: dict, ex: dict) -> dict:
+    """Fold this invocation's per-query/stage readings into the
+    accumulated per-best suite state (BENCH/suite_state.json), the same
+    noise protocol --scaling uses: this host's ±40% windows (round-3
+    evidence: a strict plan-superset measured 5x faster than its subset
+    minutes apart) mean single invocations only under-estimate, so
+    round-over-round trend reads come from accumulated bests at the
+    pinned input (sf, cpus, frontier N/M). Delete the file to restart."""
+    state_path = f"{REPO}/BENCH/suite_state.json"
+    key = f"sf={SF_DIR.rstrip('/').rsplit('sf', 1)[-1]},cpus={CPUS}," \
+          f"n={FRONTIER_N},m={SEEN_M}"
+    state: dict = {}
+    try:
+        with open(state_path) as fh:
+            state = json.load(fh)
+    except (OSError, ValueError):
+        pass
+    best = state.setdefault(key, {})
+    for name, sec in q.items():
+        if name not in best or sec < best[name]:
+            best[name] = sec
+    stages = state.setdefault(f"{key}/stages", {})
+    for name, r in (("frontier", fr), ("extract", ex)):
+        rate_key = "urls_per_sec" if name == "frontier" else "docs_per_sec"
+        if name not in stages or r[rate_key] > stages[name][rate_key]:
+            stages[name] = r
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    with open(state_path, "w") as fh:
+        json.dump(state, fh, indent=1)
+    return {"queries": dict(best), "stages": dict(stages),
+            "total_sec": round(sum(best.values()), 2)}
+
+
 def run_suite() -> None:
     from librecrawl_spark.session import get_spark
 
@@ -221,6 +254,7 @@ def run_suite() -> None:
     q["frontier_schedule"] = fr["sec"]
     q["fetch_extract"] = ex["sec"]
     total = round(sum(q.values()), 2)
+    acc = _merge_suite_state(q, fr, ex)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "urls_scheduled_deduped_per_sec",
@@ -234,8 +268,13 @@ def run_suite() -> None:
             "cpus": int(CPUS),
             "passes": 2,
             "wall_sec": wall,
+            "accumulated": acc,
             "note": "value = sum of per-query interleaved bests + frontier "
-                    "+ extract; per-query numbers are min over 2 passes",
+                    "+ extract (this invocation, min over 2 passes); "
+                    "extra.accumulated = per-query/stage bests accumulated "
+                    "across invocations at the same pinned input "
+                    "(BENCH/suite_state.json) — the noise-robust trend "
+                    "numbers per the bench protocol (VERDICT r3 item 4)",
         },
     }))
     spark.stop()

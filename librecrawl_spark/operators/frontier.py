@@ -397,6 +397,65 @@ def build_seen_bloom(seen: DataFrame, expected: int, fpp: float):
 # wave scheduling: dedup -> trap -> policy -> new frontier
 # --------------------------------------------------------------------------
 
+def policy_gate_lazy(df: DataFrame, hosts: DataFrame, base_domain: str,
+                     config: CrawlConfig, host_rules: DataFrame | None = None,
+                     *, url_col: str = "clean_url",
+                     keep: tuple[str, ...] = ()) -> tuple[DataFrame, DataFrame]:
+    """Native policy in ONE pass + a deferred UDF residue.
+
+    Returns ``(lazy, udf_part)``:
+
+    - ``lazy``: (url_col, *keep, policy_ok) for EVERY input row, where
+      policy_ok is the native verdict for quote-safe/simple-rule rows and
+      NULL for rows that need the Python policy UDF (non-http scheme,
+      quoted chars, complex robots prefixes). Single scan; the CaseWhen
+      keeps single-rule rows on the codegen'd fast expression and only
+      multi-rule rows pay the interpreted array-lambda walk.
+    - ``udf_part``: the exact UDF verdicts for the NULL rows, same slim
+      schema, derived from the same join lineage. Callers evaluate it
+      ONLY when the lazy frame actually contains NULLs (schedule_wave
+      piggybacks that count on its probe action) — steady-state waves of
+      quote-safe URLs never pay the second reduce-side pass that the old
+      eager native-union-udf plan ran every wave.
+
+    Requires ``_can_use_native_policy(config)``."""
+    assert _can_use_native_policy(config)
+    slim = (url_col, *keep, "policy_ok")
+    if host_rules is None:
+        host_rules = compile_robots_rules(hosts, config.user_agent)
+    j = df.join(
+        F.broadcast(host_rules.select(
+            "host", "rules", "allow_all", "disallow_all", "simple",
+            "rule1_prefix", "rule1_allow", "n_rules")),
+        "host", "left",
+    )
+    eligible, m, fast_ok = native_policy_exprs_fast(
+        F.col(url_col), base_domain, config
+    )
+    _, _, hof_ok = native_policy_exprs(F.col(url_col), base_domain, config)
+    single = (F.coalesce("n_rules", F.lit(0)) <= 1) if config.respect_robots \
+        else F.lit(True)
+    # NULL-as-"needs udf" is sound: the native verdict itself is never
+    # NULL (scope/ext are literal-closed whens, the robots chain
+    # coalesces missing-host rule columns to the allow default)
+    lazy = (
+        j.withColumn("_m_", m)
+        .withColumn(
+            "policy_ok",
+            F.when(eligible, F.when(single, fast_ok).otherwise(hof_ok)),
+        )
+        .select(*slim)
+    )
+    policy_udf = make_policy_udf(base_domain, config)
+    udf_part = (
+        j.filter(~eligible)
+        .join(F.broadcast(hosts.select("host", "robots_txt")), "host", "left")
+        .withColumn("policy_ok", policy_udf(F.col(url_col), F.col("robots_txt")))
+        .select(*slim)
+    )
+    return lazy, udf_part
+
+
 def policy_gate(df: DataFrame, hosts: DataFrame, base_domain: str,
                 config: CrawlConfig, host_rules: DataFrame | None = None,
                 *, url_col: str = "clean_url",
@@ -411,42 +470,18 @@ def policy_gate(df: DataFrame, hosts: DataFrame, base_domain: str,
     - udf:  everything else => Arrow policy UDF (exactness first).
 
     ``df`` must carry ``url_col`` and ``host``; the output projects
-    (url_col, *keep, policy_ok). Shared by schedule_wave (per-wave hot
-    path) and the distributed sitemap bootstrap (once per crawl)."""
+    (url_col, *keep, policy_ok). Eager variant (complete policy_ok) for
+    the once-per-crawl sitemap bootstrap; schedule_wave uses
+    policy_gate_lazy + its probe to skip the UDF branch when no row
+    needs it."""
     slim = (url_col, *keep, "policy_ok")
-    policy_udf = make_policy_udf(base_domain, config)
     if _can_use_native_policy(config):
-        if host_rules is None:
-            host_rules = compile_robots_rules(hosts, config.user_agent)
-        j = df.join(
-            F.broadcast(host_rules.select(
-                "host", "rules", "allow_all", "disallow_all", "simple",
-                "rule1_prefix", "rule1_allow", "n_rules")),
-            "host", "left",
+        lazy, udf_part = policy_gate_lazy(
+            df, hosts, base_domain, config, host_rules,
+            url_col=url_col, keep=keep,
         )
-        eligible, m, fast_ok = native_policy_exprs_fast(
-            F.col(url_col), base_domain, config
-        )
-        _, _, hof_ok = native_policy_exprs(F.col(url_col), base_domain, config)
-        single = (F.coalesce("n_rules", F.lit(0)) <= 1) if config.respect_robots \
-            else F.lit(True)
-        # ONE scan for both native tiers: CaseWhen evaluates lazily, so
-        # single-rule rows stay on the codegen'd fast expression and only
-        # multi-rule rows pay the interpreted array-lambda walk — the
-        # former fast/hof filter+union pair re-scanned the joined frame
-        # twice for the same result (round-4: -1 scan, -1 union input)
-        native_part = (
-            j.filter(eligible).withColumn("_m_", m)
-            .withColumn("policy_ok", F.when(single, fast_ok).otherwise(hof_ok))
-            .select(*slim)
-        )
-        udf_part = (
-            j.filter(~eligible)
-            .join(F.broadcast(hosts.select("host", "robots_txt")), "host", "left")
-            .withColumn("policy_ok", policy_udf(F.col(url_col), F.col("robots_txt")))
-            .select(*slim)
-        )
-        return native_part.unionByName(udf_part)
+        return lazy.filter(F.col("policy_ok").isNotNull()).unionByName(udf_part)
+    policy_udf = make_policy_udf(base_domain, config)
     return (
         df.join(F.broadcast(hosts.select("host", "robots_txt")), "host", "left")
         .withColumn("policy_ok", policy_udf(F.col(url_col), F.col("robots_txt")))
@@ -578,33 +613,28 @@ def schedule_wave(
     )
 
     # 2. policy gate on deduped rows (URL-pure => one evaluation per URL).
-    # Three-way split, cheapest path first — when no fnmatch/regex
-    # patterns are configured:
-    #   fast: quote-safe URL + <=1 robots rule => the whole policy is
-    #         codegen'd column exprs (no regex, no lambda, no Python);
-    #   hof:  quote-safe URL + multi-rule host => same exprs with the
-    #         interpreted array-lambda rule walk (small subset);
-    #   udf:  everything else => Python UDF (exactness first).
+    # Native configs take the LAZY gate: ONE scan produces the verdict
+    # for every quote-safe/simple-rule row and NULL for the (usually
+    # empty) residue that needs the exact Python policy. The NULL count
+    # piggybacks on the probe action below, so a steady-state wave never
+    # materializes the UDF branch at all — no second reduce-side pass
+    # over the dedup shuffle, no Python worker spin-up. Only when a wave
+    # actually carries quoted/odd URLs does it pay one extra pass to fold
+    # the UDF verdicts in (and re-probe, since wave_acc/bucket counts
+    # must be computed over the completed verdicts).
     # The ONLY cache this wave pins is the slim post-policy projection
     # (url, packed order key, signature, policy_ok) — the fat
-    # robots_txt/rules columns never hit storage, and the policy
-    # evaluates exactly once per URL before the three downstream scans
-    # read the cache.
-    first = policy_gate(first, hosts, base_domain, config, host_rules,
-                        url_col="clean_url", keep=("_p", "signature")).persist()
+    # robots_txt/rules columns never hit storage.
+    lazy_udf = None
+    if _can_use_native_policy(config):
+        lazy, lazy_udf = policy_gate_lazy(
+            first, hosts, base_domain, config, host_rules,
+            url_col="clean_url", keep=("_p", "signature"))
+        first = lazy.persist()
+    else:
+        first = policy_gate(first, hosts, base_domain, config, host_rules,
+                            url_col="clean_url", keep=("_p", "signature")).persist()
     pre = first
-
-    # 3. hot/cold signature split
-    priors = pattern_counts.withColumnRenamed("cnt", "prior")
-    sig_stat = (
-        first.groupBy("signature")
-        .agg(F.sum(F.col("policy_ok").cast("long")).alias("wave_acc"))
-        .join(priors, "signature", "left")
-        .fillna({"prior": 0})
-    )
-    hot_sigs = sig_stat.filter(F.col("prior") + F.col("wave_acc") >= T).select(
-        "signature", "prior"
-    )
 
     # packed lead bounds for the seq-assignment range buckets: _p order
     # IS (src_seq, link_idx) order, and sorting one long beats a
@@ -614,32 +644,62 @@ def schedule_wave(
         p_bounds = (src_seq_bounds[0] << 28, ((src_seq_bounds[1] + 1) << 28) - 1)
 
     spark = candidates.sparkSession
-    bkt_counts = None
-    if p_bounds is not None:
-        # combined probe: ONE action returns the threshold-crossing
-        # signatures AND (optimistically, assuming none) the per-bucket
-        # row counts the seq assignment needs — the same job also
-        # materializes the `first` cache. Steady-state waves thus run 2
-        # driver actions total (probe + final count) instead of 3.
+    priors = pattern_counts.withColumnRenamed("cnt", "prior")
+
+    def _probe(fr, count_nulls):
+        """3. hot/cold signature split — combined probe: ONE action
+        returns the threshold-crossing signatures AND (optimistically,
+        assuming none) the per-bucket row counts the seq assignment
+        needs AND the lazy-policy NULL count — the same job also
+        materializes the `fr` cache. Steady-state waves thus run 2
+        driver actions total (probe + final count) instead of 3."""
+        sig_stat = (
+            fr.groupBy("signature")
+            .agg(F.sum(F.col("policy_ok").cast("long")).alias("wave_acc"))
+            .join(priors, "signature", "left")
+            .fillna({"prior": 0})
+        )
+        hs = sig_stat.filter(F.col("prior") + F.col("wave_acc") >= T).select(
+            "signature", "prior"
+        )
+        if p_bounds is None:
+            n_null = (fr.filter(F.col("policy_ok").isNull()).count()
+                      if count_nulls else 0)
+            return hs, None, (not hs.isEmpty()), n_null
         n_buckets = default_seq_buckets(spark)
         width = max((p_bounds[1] - p_bounds[0]) // n_buckets + 1, 1)
         bucket = ((F.col("_p") - F.lit(p_bounds[0])) / F.lit(width)).cast("long")
-        probe = hot_sigs.select(
+        probe = hs.select(
             F.lit("hot").alias("kind"), F.col("signature").alias("key"),
             F.col("prior").cast("long").alias("val"),
         ).unionByName(
-            first.filter("policy_ok").groupBy(bucket.alias("key")).count().select(
+            fr.filter("policy_ok").groupBy(bucket.alias("key")).count().select(
                 F.lit("bkt").alias("kind"), F.col("key").cast("string").alias("key"),
                 F.col("count").alias("val"))
         )
+        if count_nulls:
+            probe = probe.unionByName(
+                fr.filter(F.col("policy_ok").isNull()).groupBy().count().select(
+                    F.lit("nul").alias("kind"), F.lit("").alias("key"),
+                    F.col("count").alias("val")))
         rows = probe.collect()
         hot_rows = [(r["key"], r["val"]) for r in rows if r["kind"] == "hot"]
-        bkt_counts = {int(r["key"]): r["val"] for r in rows if r["kind"] == "bkt"}
-        has_hot = bool(hot_rows)
-        if has_hot:
-            hot_sigs = spark.createDataFrame(hot_rows, "signature string, prior long")
-    else:
-        has_hot = not hot_sigs.isEmpty()
+        bkts = {int(r["key"]): r["val"] for r in rows if r["kind"] == "bkt"}
+        n_null = sum(r["val"] for r in rows if r["kind"] == "nul")
+        hot = bool(hot_rows)
+        if hot:
+            hs = spark.createDataFrame(hot_rows, "signature string, prior long")
+        return hs, bkts, hot, n_null
+
+    hot_sigs, bkt_counts, has_hot, n_null = _probe(first, lazy_udf is not None)
+    if n_null:
+        # rare wave: some URLs need the exact Python policy — fold the
+        # UDF verdicts in and re-probe over the completed verdicts
+        exact = (first.filter(F.col("policy_ok").isNotNull())
+                 .unionByName(lazy_udf).persist())
+        first.unpersist()
+        first = pre = exact
+        hot_sigs, bkt_counts, has_hot, _ = _probe(first, False)
 
     cold_accepted = (
         (first.join(hot_sigs, "signature", "left_anti") if has_hot else first)

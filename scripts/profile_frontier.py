@@ -36,7 +36,9 @@ def main(cpus: int, n: int) -> None:
                       shuffle_partitions=cpus * 2,
                       extra_conf={"spark.sql.autoBroadcastJoinThreshold":
                                   str(WAVE_BROADCAST_THRESHOLD)})
-    cands, seen, hosts = bench.build_frontier_inputs(spark, n, bench.SEEN_M, bench.N_HOSTS)
+    # match the suite input at suite N, the scaling input at scaling N
+    m = bench.SCALING_SEEN_M if n >= bench.SCALING_N else bench.SEEN_M
+    cands, seen, hosts = bench.build_frontier_inputs(spark, n, m, bench.N_HOSTS)
     cands, seen, hosts = cands.persist(), seen.persist(), hosts.persist()
     cands.count(), seen.count(), hosts.count()
 
@@ -91,13 +93,27 @@ def main(cpus: int, n: int) -> None:
         results[cut] = round(best, 2)
         print(f"PROGRESS {cut} {best:.2f}", file=sys.stderr, flush=True)
 
-    # full pipeline pieces beyond the cuts
+    # full pipeline pieces beyond the cuts — precompiled host_rules +
+    # bloom exactly as bench.bench_frontier_schedule runs the wave
+    use_bloom = m >= 1_500_000
+
+    best = 1e18
+    if use_bloom:
+        for _ in range(reps):
+            t0 = time.time()
+            FR.build_seen_bloom(seen, expected=2 * m, fpp=0.03)
+            best = min(best, time.time() - t0)
+        results["bloom_build"] = round(best, 2)
+
     best = 1e18
     for _ in range(reps):
         t0 = time.time()
+        bloom = (FR.build_seen_bloom(seen, expected=2 * m, fpp=0.03)
+                 if use_bloom else None)
         nf, cd, th, occ_h = FR.schedule_wave(
             cands, seen, spark.createDataFrame([], "signature string, cnt long"),
-            hosts, "h0.example", cfg, seq_start=0, src_seq_bounds=(0, n - 1))
+            hosts, "h0.example", cfg, seq_start=0, src_seq_bounds=(0, n - 1),
+            bloom=bloom, host_rules=rules)
         noop(nf)
         best = min(best, time.time() - t0)
         occ_h.unpersist()
@@ -106,9 +122,12 @@ def main(cpus: int, n: int) -> None:
     best = 1e18
     for _ in range(reps):
         t0 = time.time()
+        bloom = (FR.build_seen_bloom(seen, expected=2 * m, fpp=0.03)
+                 if use_bloom else None)
         nf, cd, th, occ_h = FR.schedule_wave(
             cands, seen, spark.createDataFrame([], "signature string, cnt long"),
-            hosts, "h0.example", cfg, seq_start=0, src_seq_bounds=(0, n - 1))
+            hosts, "h0.example", cfg, seq_start=0, src_seq_bounds=(0, n - 1),
+            bloom=bloom, host_rules=rules)
         nf = nf.persist()
         sel, defr = FR.apply_politeness(nf, hosts, cfg.wave_seconds)
         sel.count()
