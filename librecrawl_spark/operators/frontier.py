@@ -379,16 +379,51 @@ def anti_join_seen(candidates: DataFrame, seen: DataFrame,
     )
 
 
-def _bloom_might_contain(bloom, col):
+class _SeenBloom:
+    """A serialized ``org.apache.spark.util.sketch.BloomFilter`` built
+    over ``xxhash64(url)`` (long-hash space), probed JVM-side via the
+    Catalyst ``BloomFilterMightContain`` expression — the same machinery
+    Spark's own runtime row-level filtering injects, so the probe stays
+    inside whole-stage codegen (no Python, no extra exchange)."""
+
+    __slots__ = ("raw", "spark")
+
+    def __init__(self, raw, spark):
+        self.raw = raw
+        self.spark = spark
+
+
+def _bloom_might_contain(bloom: "_SeenBloom", col):
     from pyspark.sql.column import Column
 
-    return Column(bloom.mightContain(col._jc))
+    jvm = bloom.spark._jvm
+    lit = jvm.org.apache.spark.sql.catalyst.expressions.Literal.create(
+        bloom.raw, jvm.org.apache.spark.sql.types.DataTypes.BinaryType
+    )
+    eu = jvm.org.apache.spark.sql.classic.ExpressionUtils
+    expr = jvm.org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        lit, eu.expression(F.xxhash64(col)._jc)
+    )
+    return Column(eu.column(expr))
 
 
 def build_seen_bloom(seen: DataFrame, expected: int, fpp: float):
-    """Broadcastable Bloom filter over the seen-set (df.stat.bloomFilter)."""
+    """Bloom filter over the seen-set for the anti-join prefilter.
+
+    PySpark 4.x dropped ``DataFrameStatFunctions.bloomFilter``, so the
+    build goes through the JVM stat API over ``xxhash64(url)`` longs
+    (``putLong`` — the hash space ``BloomFilterMightContain`` probes
+    with ``mightContainLong``) and ships the serialized bitmap into the
+    probe expression as a binary literal. Returns None when the
+    internal JVM surface is unavailable (callers fall back to the plain
+    anti-join, which stays exact — the bloom is only a prefilter)."""
+    spark = seen.sparkSession
     try:
-        return seen.stat.bloomFilter("url", expected, fpp)
+        jb = (seen.select(F.xxhash64("url").alias("h"))
+              ._jdf.stat().bloomFilter("h", expected, fpp))
+        bos = spark._jvm.java.io.ByteArrayOutputStream()
+        jb.writeTo(bos)
+        return _SeenBloom(bos.toByteArray(), spark)
     except Exception:
         return None
 
