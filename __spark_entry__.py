@@ -444,17 +444,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def a9_bigram_topk(spark, sf):
         d = _t(spark, sf, "documents")
-        toks = "regexp_extract_all(text, '\\\\w+', 0)"
-        # Guard short docs: sequence(1, 0) counts DOWN to [1, 0] in Spark, so
-        # a doc with <2 tokens would hit element_at(..., 0) and abort the job.
+        # Tokenize ONCE per row behind a projection barrier (CollapseProject
+        # refuses to inline a non-cheap expr referenced more than once), then
+        # pair adjacent tokens with zip_with over two slices — the former
+        # transform(sequence(...), i -> element_at(toks, i)) form re-ran the
+        # full regexp_extract_all for EVERY element inside the lambda,
+        # i.e. O(n_tokens) regex passes per document.
+        # zip_with guards short docs itself: size(tk) < 2 makes both slice
+        # lengths <= 0 -> empty arrays -> no pairs.
         bigrams = F.expr(
-            f"CASE WHEN size({toks}) >= 2 THEN "
-            f"transform(sequence(1, size({toks}) - 1), "
-            f"i -> concat_ws(' ', element_at({toks}, i), element_at({toks}, i + 1))) "
-            f"ELSE array() END"
+            "zip_with(slice(tk, 1, greatest(size(tk) - 1, 0)), "
+            "slice(tk, 2, greatest(size(tk) - 1, 0)), "
+            "(a, b) -> concat_ws(' ', a, b))"
         )
         return (
-            d.select(F.explode(bigrams).alias("bigram"))
+            d.select(F.expr("regexp_extract_all(text, '\\\\w+', 0)").alias("tk"))
+            .select(F.explode(bigrams).alias("bigram"))
             .groupBy("bigram")
             .agg(F.count("*").alias("n"))
             .orderBy(F.desc("n"), F.asc("bigram"))
