@@ -367,16 +367,21 @@ def anti_join_seen(candidates: DataFrame, seen: DataFrame,
     ``bloom`` (optional, pyspark BloomFilter built over seen urls): rows
     the bloom reports unseen bypass the join (bloom has no false
     negatives); only "maybe seen" rows take the shuffle."""
+    seen_keyed = seen.select(F.col("url").alias("clean_url"))
     if bloom is not None:
+        # callers build a bloom exactly when seen outgrew the broadcast
+        # threshold, so force shuffle_hash (not sort-merge) here: the
+        # build side is the seen partition (small per task) and the
+        # candidate side streams unsorted — its existing hash
+        # partitioning on clean_url (from the keep-first aggregate
+        # upstream) satisfies the join's required distribution, so only
+        # `seen` exchanges. Without the bloom the planner's own
+        # broadcast-vs-shuffle choice stays in charge.
         maybe = candidates.filter(_bloom_might_contain(bloom, F.col("clean_url")))
         fresh = candidates.filter(~_bloom_might_contain(bloom, F.col("clean_url")))
-        verified = maybe.join(
-            seen.select(F.col("url").alias("clean_url")), "clean_url", "left_anti"
-        )
+        verified = maybe.join(seen_keyed.hint("shuffle_hash"), "clean_url", "left_anti")
         return fresh.unionByName(verified)
-    return candidates.join(
-        seen.select(F.col("url").alias("clean_url")), "clean_url", "left_anti"
-    )
+    return candidates.join(seen_keyed, "clean_url", "left_anti")
 
 
 class _SeenBloom:
@@ -615,7 +620,6 @@ def schedule_wave(
     # src_url exists only for the self-link gate — dropped immediately so
     # no downstream shuffle carries it (~40B/row on every exchange).
     occ = candidates.filter(F.col("clean_url") != F.col("src_url")).drop("src_url")
-    occ = anti_join_seen(occ, seen, bloom)
 
     # 1. first occurrence per URL — aggregation, not a window. The order
     # key (src_seq, link_idx) packs with depth into ONE long so the agg
@@ -641,6 +645,17 @@ def schedule_wave(
              F.first("signature").alias("signature"),
              F.first("host").alias("host"))
     )
+    # seen-set dedup AFTER keep-first: the anti-join removes whole
+    # clean_url groups and every aggregate above is a pure function of
+    # the group's rows, so groupBy-then-anti-join is row-identical to
+    # anti-join-then-groupBy — but the join now probes one row per URL
+    # (not one per occurrence), and its required distribution matches the
+    # aggregate's hash partitioning on clean_url, so the big side never
+    # re-exchanges: only `seen` shuffles (or broadcasts below the 64MB
+    # session threshold). The hot path stays exact without its own
+    # anti-join because occ_hot inner-joins `first` on clean_url and
+    # seen URLs are absent from `first`.
+    first = anti_join_seen(first, seen, bloom)
     unpack = dict(
         src_seq=F.shiftright(F.col("_p"), 28).cast("long"),
         link_idx=F.shiftright(F.col("_p"), 8).bitwiseAND(F.lit((1 << 20) - 1)).cast("int"),
