@@ -51,12 +51,11 @@ def main(cpus: int, n: int) -> None:
 
     def build(cut: str):
         # mirrors schedule_wave's current physical plan: packed-long
-        # dedup key, broadcast anti-join, native fast-path policy
+        # dedup key FIRST, then the seen anti-join over deduped rows
+        # (one probe per URL, reusing the agg's hash partitioning),
+        # native fast-path policy
         occ = cands.filter(F.col("clean_url") != F.col("src_url")).drop("src_url")
         if cut == "selffilter":
-            return occ
-        occ = FR.anti_join_seen(occ, seen)
-        if cut == "antijoin":
             return occ
         packed = (F.shiftleft(F.col("src_seq").cast("long"), 28)
                   + F.shiftleft(F.col("link_idx").cast("long"), 8)
@@ -69,6 +68,9 @@ def main(cpus: int, n: int) -> None:
                  F.first("host").alias("host"))
         )
         if cut == "dedup_first":
+            return first
+        first = FR.anti_join_seen(first, seen)
+        if cut == "antijoin":
             return first
         first = first.join(
             F.broadcast(rules.select("host", "rule1_prefix", "rule1_allow",
@@ -84,7 +86,7 @@ def main(cpus: int, n: int) -> None:
         return None
 
     results = {}
-    for cut in ("selffilter", "antijoin", "dedup_first", "hosts_join", "policy_native"):
+    for cut in ("selffilter", "dedup_first", "antijoin", "hosts_join", "policy_native"):
         best = 1e18
         for _ in range(reps):
             t0 = time.time()
