@@ -108,14 +108,13 @@ def bench_frontier_schedule(spark, n: int = FRONTIER_N, m: int = SEEN_M) -> dict
     for _ in range(reps):
         t0 = time.time()
         # mirror the engine's gating (plans/crawl.py): below ~1.5M seen
-        # rows the anti-join broadcasts (64MB threshold, session.py) and
-        # the bloom's build job is pure overhead; past it, the per-wave
-        # rebuild cost belongs inside the timed region
-        bloom = (FR.build_seen_bloom(seen, expected=2 * m, fpp=0.03)
-                 if m >= 1_500_000 else None)
+        # rows the anti-join broadcasts (64MB threshold, session.py);
+        # past it, seen_big forces the shuffle_hash build of the seen
+        # side (no per-wave bloom — see anti_join_seen)
         new_frontier, counts_delta, trap_hits, occ = FR.schedule_wave(
             cands, seen, counts, hosts, "h0.example", cfg, seq_start=0,
-            src_seq_bounds=(0, n - 1), bloom=bloom, host_rules=host_rules,
+            src_seq_bounds=(0, n - 1), seen_big=m >= 1_500_000,
+            host_rules=host_rules,
         )
         new_frontier = new_frontier.persist()
         selected, deferred = FR.apply_politeness(new_frontier, hosts, cfg.wave_seconds)

@@ -252,6 +252,77 @@ def _url_parts(url_col):
     return host, tail
 
 
+# characters a netloc may carry for the codegen parse to be
+# urlparse-exact: alnum, dot, dash (hosts), ':' (port), '@'/'_'/'~'
+# (userinfo). Everything else — '?' or '#' before the first '/' (which
+# would end urlparse's netloc early), '%', brackets (urlsplit's
+# bracketed-host validation can raise), space/tab/CR/LF (urlsplit
+# strips or deletes them), non-ASCII (3.11's NFKC netloc check) —
+# routes the row to the exact-Python residue.
+_HOST_SAFE = ("abcdefghijklmnopqrstuvwxyz"
+              "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789.-:@_~")
+
+
+def parse_url_native(url_col):
+    """(parseable, netloc, signature) as pure column expressions —
+    ``urlparse(url).netloc`` (spandoc.frontier_candidates' host field)
+    and C3 ``urls.url_signature`` (link_manager.py:27-41) re-derived
+    from the URL so schedule_wave's keep-first aggregate never carries
+    the strings (a string agg buffer forces SortAggregate; min over the
+    packed long hash-aggregates, measured 2.1x at the 16M wave).
+
+    The gate is regex-free (startswith + translate-delete, same trick
+    as the policy's ``eligible``): lowercase http(s) scheme, netloc
+    chars in _HOST_SAFE, path chars in _SAFE_STR. For gated rows the
+    slices are urlparse-exact because parsing is pure string slicing
+    and no '?', '#' or ';' can appear (so query/fragment/params
+    splitting is vacuous and path == tail), and the path is ASCII so
+    Java [0-9] == Python \\d for the signature's digit runs. Rows
+    outside the gate get NULLs and take the exact-Python residue
+    (make_parse_url_udf), mirroring the policy gate's eligible/udf
+    split — the two short regexp_replaces below run only for the
+    signature value itself."""
+    host_col, tail = _url_parts(url_col)
+    scheme_ok = url_col.startswith("http://") | url_col.startswith("https://")
+    parseable = (
+        scheme_ok
+        & (F.translate(host_col, _HOST_SAFE, "") == "")
+        & (F.translate(tail, _SAFE_STR, "") == "")
+    )
+    sig = F.regexp_replace(tail, "[0-9]+", "\\\\d+")
+    sig = F.regexp_replace(
+        sig,
+        "[a-f0-9]{8}-[a-f0-9]{4}-[a-f0-9]{4}-[a-f0-9]{4}-[a-f0-9]{12}",
+        "\\\\uuid",
+    )
+    return parseable, host_col, sig
+
+
+def make_parse_url_udf():
+    """Exact-Python (host, signature) for the rows parse_url_native
+    gated out — urlparse().netloc + urls.url_signature verbatim. In the
+    engine every candidate URL already survived urlparse inside the
+    extraction pass, so the netloc except-arm ('' like urlsplit's empty
+    authority) is reachable only from synthetic inputs."""
+    from urllib.parse import urlparse
+
+    @F.pandas_udf("host string, signature string")
+    def parse(urls: pd.Series) -> pd.DataFrame:
+        from librecrawl_spark.functions import urls as U
+
+        hosts, sigs = [], []
+        for u in urls:
+            try:
+                h = urlparse(u).netloc
+            except Exception:
+                h = ""
+            hosts.append(h)
+            sigs.append(U.url_signature(u))
+        return pd.DataFrame({"host": hosts, "signature": sigs})
+
+    return parse
+
+
 _SAFE_STR = ("abcdefghijklmnopqrstuvwxyz"
              "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_.-~/")
 
@@ -361,26 +432,36 @@ def _can_use_native_policy(config: CrawlConfig) -> bool:
 # --------------------------------------------------------------------------
 
 def anti_join_seen(candidates: DataFrame, seen: DataFrame,
-                   bloom=None) -> DataFrame:
+                   bloom=None, *, big: bool = False) -> DataFrame:
     """Exact dedup: left-anti join candidate.clean_url vs seen.url.
+
+    ``big`` (seen outgrew the broadcast threshold): force shuffle_hash —
+    not sort-merge, which would sort BOTH sides — so the build side is
+    the seen partition (small per task) and the candidate side streams
+    unsorted. When the candidates arrive hash-partitioned on clean_url
+    (schedule_wave's keep-first aggregate), the join's required
+    distribution is already satisfied and only ``seen`` exchanges.
+    Below the threshold the planner's own broadcast choice stays in
+    charge.
 
     ``bloom`` (optional, pyspark BloomFilter built over seen urls): rows
     the bloom reports unseen bypass the join (bloom has no false
-    negatives); only "maybe seen" rows take the shuffle."""
+    negatives); only "maybe seen" rows take the shuffle. Worth it ONLY
+    when candidates are raw occurrences whose shuffle the bloom can
+    avert; for pre-partitioned deduped candidates the bloom is pure
+    overhead — the probe costs as much as the hash-table lookup it
+    saves, and the fresh/maybe union splits the plan into two branches
+    that each recompute the upstream aggregate (Catalyst pushes the
+    grouping-key bloom predicate below the groupBy, defeating exchange
+    reuse) — so schedule_wave passes ``big`` instead."""
     seen_keyed = seen.select(F.col("url").alias("clean_url"))
     if bloom is not None:
-        # callers build a bloom exactly when seen outgrew the broadcast
-        # threshold, so force shuffle_hash (not sort-merge) here: the
-        # build side is the seen partition (small per task) and the
-        # candidate side streams unsorted — its existing hash
-        # partitioning on clean_url (from the keep-first aggregate
-        # upstream) satisfies the join's required distribution, so only
-        # `seen` exchanges. Without the bloom the planner's own
-        # broadcast-vs-shuffle choice stays in charge.
         maybe = candidates.filter(_bloom_might_contain(bloom, F.col("clean_url")))
         fresh = candidates.filter(~_bloom_might_contain(bloom, F.col("clean_url")))
         verified = maybe.join(seen_keyed.hint("shuffle_hash"), "clean_url", "left_anti")
         return fresh.unionByName(verified)
+    if big:
+        return candidates.join(seen_keyed.hint("shuffle_hash"), "clean_url", "left_anti")
     return candidates.join(seen_keyed, "clean_url", "left_anti")
 
 
@@ -440,7 +521,8 @@ def build_seen_bloom(seen: DataFrame, expected: int, fpp: float):
 def policy_gate_lazy(df: DataFrame, hosts: DataFrame, base_domain: str,
                      config: CrawlConfig, host_rules: DataFrame | None = None,
                      *, url_col: str = "clean_url",
-                     keep: tuple[str, ...] = ()) -> tuple[DataFrame, DataFrame]:
+                     keep: tuple[str, ...] = (),
+                     fill_parse: bool = False) -> tuple[DataFrame, DataFrame]:
     """Native policy in ONE pass + a deferred UDF residue.
 
     Returns ``(lazy, udf_part)``:
@@ -473,6 +555,12 @@ def policy_gate_lazy(df: DataFrame, hosts: DataFrame, base_domain: str,
         F.col(url_col), base_domain, config
     )
     _, _, hof_ok = native_policy_exprs(F.col(url_col), base_domain, config)
+    if fill_parse:
+        # df's host/signature came from parse_url_native and are NULL
+        # outside its gate — those rows must take the exact residue (a
+        # NULL host would otherwise fall through the robots chain's
+        # missing-host allow-default even when the real host has rules)
+        eligible = eligible & F.col("host").isNotNull()
     single = (F.coalesce("n_rules", F.lit(0)) <= 1) if config.respect_robots \
         else F.lit(True)
     # NULL-as-"needs udf" is sound: the native verdict itself is never
@@ -487,8 +575,22 @@ def policy_gate_lazy(df: DataFrame, hosts: DataFrame, base_domain: str,
         .select(*slim)
     )
     policy_udf = make_policy_udf(base_domain, config)
+    udf_src = j.filter(~eligible)
+    if fill_parse:
+        # complete host (for the robots lookup) and signature with the
+        # exact Python parse before judging the residue
+        pu = make_parse_url_udf()(F.col(url_col))
+        udf_src = udf_src.withColumn("_pu", pu).withColumn(
+            "host", F.coalesce(F.col("host"), F.col("_pu.host"))
+        )
+        if "signature" in keep:
+            udf_src = udf_src.withColumn(
+                "signature",
+                F.coalesce(F.col("signature"), F.col("_pu.signature")),
+            )
+        udf_src = udf_src.drop("_pu")
     udf_part = (
-        j.filter(~eligible)
+        udf_src
         .join(F.broadcast(hosts.select("host", "robots_txt")), "host", "left")
         .withColumn("policy_ok", policy_udf(F.col(url_col), F.col("robots_txt")))
         .select(*slim)
@@ -499,7 +601,8 @@ def policy_gate_lazy(df: DataFrame, hosts: DataFrame, base_domain: str,
 def policy_gate(df: DataFrame, hosts: DataFrame, base_domain: str,
                 config: CrawlConfig, host_rules: DataFrame | None = None,
                 *, url_col: str = "clean_url",
-                keep: tuple[str, ...] = ()) -> DataFrame:
+                keep: tuple[str, ...] = (),
+                fill_parse: bool = False) -> DataFrame:
     """Append ``policy_ok`` (robots + scope + extension + patterns,
     crawler.py:1425-1492) with the three-way native/hof/udf split:
 
@@ -518,10 +621,21 @@ def policy_gate(df: DataFrame, hosts: DataFrame, base_domain: str,
     if _can_use_native_policy(config):
         lazy, udf_part = policy_gate_lazy(
             df, hosts, base_domain, config, host_rules,
-            url_col=url_col, keep=keep,
+            url_col=url_col, keep=keep, fill_parse=fill_parse,
         )
         return lazy.filter(F.col("policy_ok").isNotNull()).unionByName(udf_part)
     policy_udf = make_policy_udf(base_domain, config)
+    if fill_parse:
+        pu = make_parse_url_udf()(F.col(url_col))
+        df = df.withColumn("_pu", pu).withColumn(
+            "host", F.coalesce(F.col("host"), F.col("_pu.host"))
+        )
+        if "signature" in keep:
+            df = df.withColumn(
+                "signature",
+                F.coalesce(F.col("signature"), F.col("_pu.signature")),
+            )
+        df = df.drop("_pu")
     return (
         df.join(F.broadcast(hosts.select("host", "robots_txt")), "host", "left")
         .withColumn("policy_ok", policy_udf(F.col(url_col), F.col("robots_txt")))
@@ -577,6 +691,7 @@ def schedule_wave(
     bloom=None,
     src_seq_bounds: tuple[int, int] | None = None,
     host_rules: DataFrame | None = None,
+    seen_big: bool | None = None,
 ):
     """One wave of frontier growth. Returns (new_frontier, counts_delta,
     trap_hits, cache_handle).
@@ -623,13 +738,15 @@ def schedule_wave(
 
     # 1. first occurrence per URL — aggregation, not a window. The order
     # key (src_seq, link_idx) packs with depth into ONE long so the agg
-    # buffer is a primitive min instead of a struct comparator+copy
-    # (measured 2.3x on the 5M-row wave). Field widths: src_seq 35 bits
-    # (3.4e10 pages/crawl), link_idx 20 bits (1M links/page, clamped —
-    # ordering past that collapses to depth, pathological-page-only),
-    # depth 8 bits (asserted); signature/host are URL-pure (C3:
-    # signature = f(clean_url)), so any group member supplies them —
-    # F.first, no comparator.
+    # buffer is a SINGLE primitive min: HashAggregate (a string or
+    # struct in the buffer is immutable-width, demoting the whole agg to
+    # SortAggregate — measured 2.1x slower at the 16M wave — which is
+    # why signature/host do NOT ride through; being URL-pure (C3:
+    # signature = f(clean_url), host = urlparse(url).netloc) they are
+    # re-derived from the surviving keys below). Field widths: src_seq
+    # 35 bits (3.4e10 pages/crawl), link_idx 20 bits (1M links/page,
+    # clamped — ordering past that collapses to depth,
+    # pathological-page-only), depth 8 bits (asserted).
     assert config.max_depth < 256, "depth packing requires max_depth < 256"
     if src_seq_bounds is not None:
         assert src_seq_bounds[1] < (1 << 35), "seq packing requires src_seq < 2^35"
@@ -641,9 +758,7 @@ def schedule_wave(
     first = (
         occ.withColumn("_p", packed)
         .groupBy("clean_url")
-        .agg(F.min("_p").alias("_p"),
-             F.first("signature").alias("signature"),
-             F.first("host").alias("host"))
+        .agg(F.min("_p").alias("_p"))
     )
     # seen-set dedup AFTER keep-first: the anti-join removes whole
     # clean_url groups and every aggregate above is a pure function of
@@ -652,10 +767,23 @@ def schedule_wave(
     # (not one per occurrence), and its required distribution matches the
     # aggregate's hash partitioning on clean_url, so the big side never
     # re-exchanges: only `seen` shuffles (or broadcasts below the 64MB
-    # session threshold). The hot path stays exact without its own
-    # anti-join because occ_hot inner-joins `first` on clean_url and
-    # seen URLs are absent from `first`.
-    first = anti_join_seen(first, seen, bloom)
+    # session threshold). No bloom here even when the caller built one —
+    # see anti_join_seen's docstring. The hot path stays exact without
+    # its own anti-join because occ_hot inner-joins `first` on clean_url
+    # and seen URLs are absent from `first`.
+    if seen_big is None:
+        seen_big = bloom is not None
+    first = anti_join_seen(first, seen, big=seen_big)
+    # signature/host re-derived on the deduped survivors (one eval per
+    # URL, codegen); rows outside the exact-native gate carry NULLs and
+    # are completed by the policy residue (their policy_ok is NULL too,
+    # so the probe's null count routes them — fill_parse below)
+    _par, _netloc, _sig = parse_url_native(F.col("clean_url"))
+    first = first.select(
+        "clean_url", "_p",
+        F.when(_par, _sig).alias("signature"),
+        F.when(_par, _netloc).alias("host"),
+    )
     unpack = dict(
         src_seq=F.shiftright(F.col("_p"), 28).cast("long"),
         link_idx=F.shiftright(F.col("_p"), 8).bitwiseAND(F.lit((1 << 20) - 1)).cast("int"),
@@ -679,11 +807,12 @@ def schedule_wave(
     if _can_use_native_policy(config):
         lazy, lazy_udf = policy_gate_lazy(
             first, hosts, base_domain, config, host_rules,
-            url_col="clean_url", keep=("_p", "signature"))
+            url_col="clean_url", keep=("_p", "signature"), fill_parse=True)
         first = lazy.persist()
     else:
         first = policy_gate(first, hosts, base_domain, config, host_rules,
-                            url_col="clean_url", keep=("_p", "signature")).persist()
+                            url_col="clean_url", keep=("_p", "signature"),
+                            fill_parse=True).persist()
     pre = first
 
     # packed lead bounds for the seq-assignment range buckets: _p order

@@ -437,22 +437,19 @@ class CrawlEngine:
                 F.col("clean_url").alias("target_url"), F.col("src_url").alias("source_url")
             )
 
-            # bloom prefilter once the seen-set is too big to BROADCAST:
-            # below ~64MB (~1.5M urls) the anti-join is already
-            # shuffle-free via broadcast-hash (session.py raises
-            # autoBroadcastJoinThreshold), so the bloom's extra build job
-            # only pays for itself past that point. Measured on the wave
-            # bench: bloom+shuffle-join 19.1s vs broadcast-join 12.6s at
-            # 5M candidates / 1M seen (scripts/tune_frontier.py).
-            bloom = None
-            if st["next_seq"] >= 1_500_000:
-                bloom = FR.build_seen_bloom(
-                    seen, expected=max(st["next_seq"] * 2, cfg.bloom_expected_items // 100),
-                    fpp=cfg.bloom_fpp,
-                )
+            # seen-set join regime: below ~64MB (~1.5M urls) the
+            # anti-join is shuffle-free via broadcast-hash (session.py
+            # raises autoBroadcastJoinThreshold); past that, seen_big
+            # makes schedule_wave force a shuffle_hash build of the seen
+            # side against the already-partitioned deduped wave (no
+            # candidate-side exchange, no sort). A per-wave bloom
+            # prefilter is NOT built: since the wave dedups before the
+            # join, the bloom's probe saves only an equally-priced hash
+            # lookup while costing a full seen scan per wave (see
+            # anti_join_seen).
             new_frontier, counts_delta, trap_hits, occ = FR.schedule_wave(
                 cands, seen, counts, self.hosts, self.base_domain, cfg, st["next_seq"],
-                bloom=bloom,
+                seen_big=st["next_seq"] >= 1_500_000,
                 src_seq_bounds=(int(wave_lo), int(wave_hi)) if wave_lo is not None else None,
                 host_rules=host_rules,
             )

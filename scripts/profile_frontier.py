@@ -48,6 +48,7 @@ def main(cpus: int, n: int) -> None:
 
     rules = FR.compile_robots_rules(hosts, cfg.user_agent).persist()
     rules.count()
+    seen_big = m >= 1_500_000
 
     def build(cut: str):
         # mirrors schedule_wave's current physical plan: packed-long
@@ -69,7 +70,7 @@ def main(cpus: int, n: int) -> None:
         )
         if cut == "dedup_first":
             return first
-        first = FR.anti_join_seen(first, seen)
+        first = FR.anti_join_seen(first, seen, big=seen_big)
         if cut == "antijoin":
             return first
         first = first.join(
@@ -95,27 +96,15 @@ def main(cpus: int, n: int) -> None:
         results[cut] = round(best, 2)
         print(f"PROGRESS {cut} {best:.2f}", file=sys.stderr, flush=True)
 
-    # full pipeline pieces beyond the cuts — precompiled host_rules +
-    # bloom exactly as bench.bench_frontier_schedule runs the wave
-    use_bloom = m >= 1_500_000
-
-    best = 1e18
-    if use_bloom:
-        for _ in range(reps):
-            t0 = time.time()
-            FR.build_seen_bloom(seen, expected=2 * m, fpp=0.03)
-            best = min(best, time.time() - t0)
-        results["bloom_build"] = round(best, 2)
-
+    # full pipeline pieces beyond the cuts — precompiled host_rules,
+    # seen_big regime exactly as bench.bench_frontier_schedule runs it
     best = 1e18
     for _ in range(reps):
         t0 = time.time()
-        bloom = (FR.build_seen_bloom(seen, expected=2 * m, fpp=0.03)
-                 if use_bloom else None)
         nf, cd, th, occ_h = FR.schedule_wave(
             cands, seen, spark.createDataFrame([], "signature string, cnt long"),
             hosts, "h0.example", cfg, seq_start=0, src_seq_bounds=(0, n - 1),
-            bloom=bloom, host_rules=rules)
+            seen_big=seen_big, host_rules=rules)
         noop(nf)
         best = min(best, time.time() - t0)
         occ_h.unpersist()
@@ -124,12 +113,10 @@ def main(cpus: int, n: int) -> None:
     best = 1e18
     for _ in range(reps):
         t0 = time.time()
-        bloom = (FR.build_seen_bloom(seen, expected=2 * m, fpp=0.03)
-                 if use_bloom else None)
         nf, cd, th, occ_h = FR.schedule_wave(
             cands, seen, spark.createDataFrame([], "signature string, cnt long"),
             hosts, "h0.example", cfg, seq_start=0, src_seq_bounds=(0, n - 1),
-            bloom=bloom, host_rules=rules)
+            seen_big=seen_big, host_rules=rules)
         nf = nf.persist()
         sel, defr = FR.apply_politeness(nf, hosts, cfg.wave_seconds)
         sel.count()

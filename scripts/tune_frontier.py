@@ -40,12 +40,11 @@ def main(cpus: int, n: int, cycles: int) -> None:
     host_rules = FR.compile_robots_rules(hosts, cfg.user_agent).persist()
     host_rules.count()
 
-    def run_wave(use_bloom: bool) -> float:
+    def run_wave(seen_big: bool) -> float:
         t0 = time.time()
-        bloom = FR.build_seen_bloom(seen, expected=2 * m, fpp=0.03) if use_bloom else None
         nf, cd, th, occ = FR.schedule_wave(
             cands, seen, counts, hosts, "h0.example", cfg, seq_start=0,
-            src_seq_bounds=(0, n - 1), bloom=bloom, host_rules=host_rules)
+            src_seq_bounds=(0, n - 1), seen_big=seen_big, host_rules=host_rules)
         nf = nf.persist()
         sel, _ = FR.apply_politeness(nf, hosts, cfg.wave_seconds)
         sel.count()
@@ -60,9 +59,10 @@ def main(cpus: int, n: int, cycles: int) -> None:
                        str(bcast_mb * 1024 * 1024))
 
     variants = {
-        "aqe_bloom": (True, 10, True),
-        "aqe_nobloom": (True, 10, False),
-        "noaqe_bloom": (False, 10, True),
+        # (aqe, autoBroadcast MB, seen_big hint)
+        "aqe_shufflehash": (True, 10, True),
+        "aqe_planner": (True, 10, False),
+        "noaqe_shufflehash": (False, 10, True),
         "noaqe_bigbcast": (False, 64, True),
         "aqe_bigbcast": (True, 64, True),
     }

@@ -151,3 +151,75 @@ def test_fast_variant_agrees_with_udf(spark, cfg):
             assert r["fast"] == r["py"], (r["clean_url"], r["fast"], r["py"])
             checked += 1
     assert checked >= 8  # every URL above is single-rule eligible
+
+
+def test_parse_url_native_agrees_with_python(spark):
+    """parse_url_native (the post-aggregate host/signature re-derivation
+    in schedule_wave) must equal urlparse().netloc + urls.url_signature
+    for every URL it claims parseable; gated-out rows are exactly the
+    ones make_parse_url_udf completes."""
+    from urllib.parse import urlparse
+
+    from librecrawl_spark.functions import urls as U
+    from librecrawl_spark.operators.frontier import (
+        make_parse_url_udf, parse_url_native)
+
+    urls = [
+        # parseable, everyday shapes
+        "https://site0.example/",
+        "https://site0.example",
+        "http://h1.example/a/b/c.html",
+        "https://h.example/p/12345",
+        "https://h.example/id/deadbeef-dead-beef-dead-beefdeadbeef/x",
+        "https://h.example/mixed/AB12cd34",
+        "https://h0.example:8080/port",
+        "https://user@h0.example/userinfo",
+        "https://h.example/UPPER/Case.HTML",
+        "https://h.example/dot.in.path/v1.2.3",
+        "https://h.example//double//slash",
+        "https://h.example/trailing/",
+        "ftp-like-but-not://x/y",              # not http(s) -> residue
+        # residue shapes (gate must be False; Python side is the truth)
+        "https://h.example/q?x=1",             # query
+        "https://h.example/p%20q",             # %-escape
+        "https://h.example/semi;colon",        # params
+        "https://h.example/semi;colon/deeper", # ';' in middle segment
+        "https://h.example/frag#f",            # fragment
+        "https://h.example/café",         # non-ASCII path
+        "https://café.example/x",         # non-ASCII host
+        "HTTPS://h.example/upper-scheme",      # uppercase scheme
+        "https://h.example?q=1",               # '?' before any '/'
+        "https://h.example/spa ce",            # space
+        "https:///x",                          # empty netloc
+        "https://h.example/uuid/123e4567-e89b-12d3-a456-426614174000",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "clean_url string")
+    par, netloc, sig = parse_url_native(F.col("clean_url"))
+    pu = make_parse_url_udf()(F.col("clean_url"))
+    rows = (
+        df.select("clean_url", par.alias("par"), netloc.alias("h"),
+                  sig.alias("s"), pu.alias("pu"))
+        .collect()
+    )
+    n_par = 0
+    for r in rows:
+        u = r["clean_url"]
+        want_h = urlparse(u).netloc
+        want_s = U.url_signature(u)
+        if r["par"]:
+            n_par += 1
+            assert r["h"] == want_h, (u, r["h"], want_h)
+            assert r["s"] == want_s, (u, r["s"], want_s)
+        # the residue UDF is the exact transcription for every row
+        assert r["pu"]["host"] == want_h, (u, r["pu"]["host"], want_h)
+        assert r["pu"]["signature"] == want_s, (u, r["pu"]["signature"], want_s)
+    assert n_par >= 12  # the everyday shapes stay on the native path
+    # shapes that MUST be gated out (urlparse semantics diverge from
+    # the plain slice, or Python-only behavior is involved)
+    gated = {u for u in urls
+             if any(c in u for c in "?%;# ")
+             or not u.startswith(("http://", "https://"))
+             or any(ord(c) > 127 for c in u)}
+    for r in rows:
+        if r["clean_url"] in gated:
+            assert not r["par"], r["clean_url"]
