@@ -31,6 +31,21 @@ N_BANDS = 4             # 2 rows/band
 SHINGLE_K = 3
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across the cluster before CPU-bound work.
+
+    Small benchmark/test inputs arrive as one parquet split, so the
+    tokenization that follows (regexp_extract_all + md5 transforms —
+    the dominant cost of every sketch below) would run in a single
+    task. When the scan has fewer partitions than the cluster's
+    parallelism, repartition first; at real scale the scan already has
+    thousands of splits and this is a plan-only no-op (no shuffle)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def exact_dups(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact duplicate groups: md5 of normalized text, groups with >1 doc.
     One shuffle; partial aggregation map-side."""
@@ -74,7 +89,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     """MinHash signature per doc: for seed i, sig_i = min over shingles of
     md5(i || ':' || shingle) — lexicographic min over hex strings is a
     valid uniform permutation min and is engine-portable."""
-    out = df.select("doc_id", _shingles(text_col).alias("sh")).filter(F.size("sh") > 0)
+    out = (_spread(df).select("doc_id", _shingles(text_col).alias("sh"))
+           .filter(F.size("sh") > 0))
 
     def mh(i: int):
         # NB: the lambda must be unary — a binary lambda is interpreted by
@@ -90,7 +106,9 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            n_hashes: int = N_MINHASH, n_bands: int = N_BANDS) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
     The band join shuffles on the band key only — never a cross join."""
-    sig = minhash_signatures(df, text_col, n_hashes)
+    # the signature computation (n_hashes md5 transforms per doc) feeds
+    # both sides of the band self-join — cache it so it runs once
+    sig = minhash_signatures(df, text_col, n_hashes).persist()
     rows_per_band = n_hashes // n_bands
     bands = [
         F.concat_ws("|", F.lit(str(b)),
@@ -127,7 +145,7 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     banding (pigeonhole: hamming <= 3 over 4 bands => at least one band
     identical) for candidate generation at scale."""
     toks = F.expr(f"regexp_extract_all({text_col}, '\\\\w+', 0)")
-    ex = df.select("doc_id", F.explode(toks).alias("tok"))
+    ex = _spread(df).select("doc_id", F.explode(toks).alias("tok"))
     h1 = F.md5(F.col("tok"))
     h2 = F.md5(F.concat(F.lit("x:"), F.col("tok")))
     hi_nibbles = list("89abcdef")  # nibble >= 8 <=> top bit of the nibble set
@@ -167,7 +185,9 @@ def simhash_dup_groups(df: DataFrame, text_col: str = "text",
     band join is lossless for max_hamming <= 3. Exact verify inside the
     candidate set via bit_count(xor) per band. Never an all-pairs scan;
     the shuffle key is the band bucket."""
-    sig = simhash(df, text_col)
+    # the 64-column sign aggregation feeds both sides of the band
+    # self-join — cache the sketch so it is computed once
+    sig = simhash(df, text_col).persist()
     bands = sig.select(
         "doc_id", "band0", "band1", "band2", "band3",
         F.explode(F.array(*[
@@ -215,7 +235,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     """
     import logging
 
-    sh = shingle_sets(df, text_col, k).filter(F.size("shingles") > 0)
+    # The shingle sets feed FOUR consumers (inverted index, doc sizes,
+    # and both verify sides) and the ranked index feeds two (prefix +
+    # probe of the self-join) — without caches every branch re-runs the
+    # regex tokenization, the dominant cost. Both caches spill to disk
+    # past memory; they are sized by the inverted index, which any
+    # AllPairs-family join materializes at least once anyway. _spread
+    # parallelizes the tokenization when the scan has few splits.
+    sh = (shingle_sets(_spread(df), text_col, k)
+          .filter(F.size("shingles") > 0).persist())
     inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     dfreq = inv.groupBy("shingle").agg(F.count("*").alias("df"))
     log = logging.getLogger(__name__)
@@ -255,6 +283,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .withColumn("_rk", F.row_number().over(
             Window.partitionBy("doc_id").orderBy("df", "shingle")))
         .join(sizes, "doc_id")
+        .persist()
     )
     prefix = ranked.filter(
         F.col("_rk") <= F.col("n") - F.ceil(c_pref * F.col("n")) + 1
