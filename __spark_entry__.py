@@ -584,6 +584,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # non-trivial pair set at both sf0.001 and sf0.01
         return exact_near_dups(_t(spark, sf, "embeddings"), threshold=0.4)
 
+    def sim_ivf_topk(spark, sf):
+        # IVF-Flat ANN: deterministic coarse quantizer (16 lowest-id
+        # vectors), argmax-cosine assignment, 4-probe exact re-rank
+        from librecrawl_spark.operators.similarity import ivf_topk
+
+        e = _t(spark, sf, "embeddings")
+        q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+        return ivf_topk(e, q, k=10, n_centroids=16, n_probe=4)
+
     def q3_shipping_priority(spark, sf):
         c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
         o = _t(spark, sf, "orders")
@@ -1026,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": events_sessionize,
         "events_session_window": events_session_window,
         "sim_neardup_exact": sim_neardup_exact,
+        "sim_ivf_topk": sim_ivf_topk,
         "text_winnow": text_winnow,
     }
 
@@ -2062,5 +2072,48 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             )
             SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM raw WHERE cs >= 0.4
+        """,
+        # IVF-Flat replay: same deterministic quantizer (16 lowest-id
+        # vectors), round-6 argmax-cosine assignment (ties -> lowest
+        # cid), 4 probed lists, exact re-rank — mirrors
+        # operators/similarity.py:ivf_topk step for step
+        "sim_ivf_topk": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            cent AS (
+              SELECT vec_id AS cid, embedding AS ce
+              FROM embeddings ORDER BY vec_id LIMIT 16
+            ),
+            asg AS (
+              SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY round(
+                           list_sum(list_transform(range(1, len(e.embedding) + 1),
+                                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+                           / (sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                              * sqrt(list_sum(list_transform(c.ce, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+                         6) DESC, c.cid ASC) AS rn
+                FROM embeddings e, cent c) WHERE rn = 1
+            ),
+            probe AS (
+              SELECT cid FROM cent, q
+              ORDER BY round(
+                list_sum(list_transform(range(1, len(ce) + 1),
+                         i -> CAST(ce[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+                / (sqrt(list_sum(list_transform(ce, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(qe, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+              6) DESC, cid ASC LIMIT 4
+            )
+            SELECT e.vec_id,
+                   round(
+                     list_sum(list_transform(range(1, len(e.embedding) + 1),
+                              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(qe, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+                   6) AS cos_sim
+            FROM embeddings e
+            JOIN asg USING (vec_id) JOIN probe USING (cid), q
+            ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
         """,
     }

@@ -144,6 +144,63 @@ def embedding_near_dups(df: DataFrame, dim: int, threshold: float = 0.95,
         .filter(F.col("cos_sim") >= threshold)
     )
 
+def ivf_topk(df: DataFrame, qdf: DataFrame, k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF-Flat approximate nearest neighbors (inverted-file index).
+
+    Index: a coarse quantizer of ``n_centroids`` list centroids; every
+    vector joins the broadcast centroid table and is assigned to its
+    max-cosine centroid via a ``min_by`` hash aggregate — one codegen
+    pass, no shuffle of the vector payload beyond the aggregate's own
+    partial/final exchange. Search: rank the centroids against the
+    query, probe the ``n_probe`` nearest lists only, exact cosine
+    re-rank inside them (distributed TakeOrdered). The scanned fraction
+    is ~``n_probe``/``n_centroids`` of the corpus — the standard
+    IVF-Flat trade (recall < 1 when a true neighbor's list is not
+    probed; raise n_probe toward n_centroids for recall 1).
+
+    The quantizer here is deterministic — the ``n_centroids`` vectors
+    with the smallest ids — so the result is engine-portable and the
+    DuckDB oracle replays it exactly. At 100 TB you would train a
+    k-means codebook instead; the plumbing (broadcast centroids,
+    argmax-cosine assignment, probe-pruned exact re-rank) is unchanged
+    — swap the centroid DataFrame. Assignment/probe scores are rounded
+    to 6 decimals before the argmax so near-ties break identically
+    (then by centroid id) in every engine.
+
+    ``qdf``: one row, one column ``qe`` holding the query vector.
+    """
+    cent = (df.orderBy(id_col).limit(n_centroids)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ce"))
+            .persist())
+
+    def _cos(a: str, b: str) -> F.Column:
+        return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
+
+    assigned = (
+        df.select(id_col, vec_col)
+        .join(F.broadcast(cent))
+        .select(id_col, F.col("cid"), _cos(vec_col, "ce").alias("_c"))
+        .groupBy(id_col)
+        .agg(F.min_by("cid", F.struct((-F.col("_c")).alias("n"), "cid")).alias("cid"))
+    )
+    probed = (
+        cent.join(F.broadcast(qdf))
+        .select("cid", _cos("ce", "qe").alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("cid"))
+        .limit(n_probe)
+        .select("cid")
+    )
+    return (
+        df.join(assigned.join(F.broadcast(probed), "cid").select(id_col), id_col)
+        .join(F.broadcast(qdf))
+        .select(id_col, _cos(vec_col, "qe").alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def exact_near_dups(df: DataFrame, threshold: float = 0.95,
                     vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold — exact O(n^2)

@@ -122,6 +122,51 @@ class TestSimilarity:
         rows = ann.collect()
         assert rows and rows[0]["vec_id"] == 3  # query's own bucket contains itself
 
+    def test_ivf_topk_matches_numpy_replay(self, emb):
+        """ivf_topk == a literal numpy replay of the IVF recipe: 16
+        lowest-id centroids, round-6 argmax-cosine assignment (ties ->
+        lowest cid), 4 probed lists, exact re-rank inside them."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from librecrawl_spark.operators.similarity import ivf_topk
+
+        rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+        ids = np.array([r["vec_id"] for r in rows])
+        M = np.array([[float(x) for x in r["embedding"]] for r in rows])
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        cent = M[:16]
+        asg_cos = np.round(M @ cent.T, 6)
+        # argmax with lowest-cid tie-break: argmax takes the first max
+        asg = asg_cos.argmax(axis=1)
+        q = M[ids == 0][0]
+        probe = {i for _, i in sorted(
+            (-np.round(cent[i] @ q, 6), i) for i in range(len(cent)))[:4]}
+        cand = [i for i in range(len(ids)) if asg[i] in probe]
+        scored = sorted(((-np.round(M[i] @ q, 6), ids[i]) for i in cand))[:10]
+        expect = [(int(v), float(-s)) for s, v in scored]
+
+        qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+        got = [(r["vec_id"], r["cos_sim"])
+               for r in ivf_topk(emb, qdf, k=10, n_centroids=16, n_probe=4).collect()]
+        assert [v for v, _ in got] == [v for v, _ in expect]
+        for (_, a), (_, b) in zip(got, expect):
+            assert abs(a - b) < 2e-6
+
+    def test_ivf_probe_all_recovers_brute_force(self, emb):
+        """With n_probe == n_centroids, IVF scans every list — the
+        result must equal the exact brute-force top-k."""
+        from pyspark.sql import functions as F
+
+        from librecrawl_spark.operators.similarity import cosine_topk, ivf_topk
+
+        q = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+        brute = [r["vec_id"] for r in cosine_topk(emb, q, k=8).collect()]
+        qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+        full = [r["vec_id"] for r in
+                ivf_topk(emb, qdf, k=8, n_centroids=8, n_probe=8).collect()]
+        assert full == brute
+
     def test_near_dups_symmetric_ids(self, emb):
         from librecrawl_spark.operators.similarity import embedding_near_dups
 
