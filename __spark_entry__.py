@@ -986,6 +986,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size("embedding").alias("dim"),
         )
 
+    def q6_forecast_revenue(spark, sf):
+        """TPC-H Q6 shape: pure filter + aggregate — the plan should be
+        a single scan with every predicate pushed to the parquet reader
+        (PushedFilters) and no shuffle beyond the final 1-row reduce."""
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.filter(
+                (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+                & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+                & (F.col("l_quantity") < 24)
+            )
+            .agg(
+                F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+                .alias("revenue"),
+                F.count("*").alias("n_lines"),
+            )
+        )
+
+    def w2_homepage(spark, sf):
+        """W2 homepage selection (crawler.py:1699-1737, misc.homepage_of):
+        no exact base_url match in the constructed pages, so the
+        shortest-path 200 internal page wins (deterministic URL
+        tie-break)."""
+        from librecrawl_spark.operators.misc import homepage_of
+
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        path = (
+            F.when(k % 5 == 0, F.concat(F.lit("/c"), (k % 9).cast("string"),
+                                        F.lit("/post-"), k.cast("string")))
+            .when(k % 5 == 1, F.concat(F.lit("/p"), (k % 97).cast("string")))
+            .otherwise(F.concat(F.lit("/deep/a/b/"), k.cast("string")))
+        )
+        pages = o.select(
+            F.concat(F.lit("https://w.example"), path).alias("url"),
+            F.when(k % 7 == 1, F.lit(404)).otherwise(F.lit(200)).alias("status_code"),
+            (k % 11 != 3).alias("is_internal"),
+        )
+        return homepage_of(pages, "https://w.example/start").select(
+            "url", "status_code")
+
+    def events_hopping_window(spark, sf):
+        """Hopping (sliding) event-time window: 600s length, 300s slide —
+        every event lands in exactly two windows. Streaming twin of the
+        tumbling/session rows (streaming/windows.py uses the same
+        F.window operator under a watermark)."""
+        e = _t(spark, sf, "events")
+        return (
+            e.groupBy(F.window("ts", "600 seconds", "300 seconds").alias("w"),
+                      "event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+                "event_type", "n", "sum_value",
+            )
+        )
+
     return {
         "a1_stats_counts": a1_stats_counts,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1037,6 +1095,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_neardup_exact": sim_neardup_exact,
         "sim_ivf_topk": sim_ivf_topk,
         "text_winnow": text_winnow,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "w2_homepage": w2_homepage,
+        "events_hopping_window": events_hopping_window,
     }
 
 
@@ -2115,5 +2176,44 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e
             JOIN asg USING (vec_id) JOIN probe USING (cid), q
             ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "w2_homepage": """
+            WITH pages AS (
+              SELECT 'https://w.example' || CASE
+                       WHEN o_orderkey % 5 = 0 THEN
+                         '/c' || CAST(o_orderkey % 9 AS VARCHAR)
+                         || '/post-' || CAST(o_orderkey AS VARCHAR)
+                       WHEN o_orderkey % 5 = 1 THEN
+                         '/p' || CAST(o_orderkey % 97 AS VARCHAR)
+                       ELSE '/deep/a/b/' || CAST(o_orderkey AS VARCHAR) END AS url,
+                     CASE WHEN o_orderkey % 7 = 1 THEN 404 ELSE 200 END AS status_code,
+                     o_orderkey % 11 <> 3 AS is_internal
+              FROM orders
+            )
+            SELECT url, status_code FROM pages
+            WHERE status_code = 200 AND is_internal
+            ORDER BY length(regexp_replace(url, '^https?://[^/]*', '')) ASC,
+                     url ASC
+            LIMIT 1
+        """,
+        "events_hopping_window": """
+            WITH hop AS (
+              SELECT to_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300
+                                  - j * 300) AS ws,
+                     event_type, value
+              FROM events CROSS JOIN (VALUES (0), (1)) t(j)
+            )
+            SELECT strftime(ws AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S') AS win_start,
+                   event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM hop GROUP BY win_start, event_type
         """,
     }
