@@ -1028,6 +1028,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return homepage_of(pages, "https://w.example/start").select(
             "url", "status_code")
 
+    def dedup_clusters(spark, sf):
+        """Duplicate-cluster assignment (dedup.dup_clusters): transitive
+        closure over a deterministic sparse pair graph on the documents
+        id space — min-label propagation + pointer jumping on the Spark
+        side, a recursive CTE on the DuckDB side."""
+        d = _t(spark, sf, "documents").select("doc_id")
+        n = d.count()
+        o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 149 == 0)
+        pairs = o.select(
+            (F.col("o_orderkey") % n).alias("doc_a"),
+            ((F.col("o_orderkey") * 7 + 3) % n).alias("doc_b"),
+        ).filter("doc_a <> doc_b")
+        return D.dup_clusters(d, pairs)
+
     def events_hopping_window(spark, sf):
         """Hopping (sliding) event-time window: 600s length, 300s slide —
         every event lands in exactly two windows. Streaming twin of the
@@ -1098,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "w2_homepage": w2_homepage,
         "events_hopping_window": events_hopping_window,
+        "dedup_clusters": dedup_clusters,
     }
 
 
@@ -2204,6 +2219,25 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY length(regexp_replace(url, '^https?://[^/]*', '')) ASC,
                      url ASC
             LIMIT 1
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE nd AS (SELECT count(*) AS n FROM documents),
+            e0 AS (
+              SELECT CAST(o_orderkey % (SELECT n FROM nd) AS BIGINT) AS a,
+                     CAST((o_orderkey * 7 + 3) % (SELECT n FROM nd) AS BIGINT) AS b
+              FROM orders WHERE o_orderkey % 149 = 0
+            ),
+            e1 AS (SELECT a, b FROM e0 WHERE a <> b),
+            e AS (SELECT a AS s, b AS d FROM e1 UNION SELECT b, a FROM e1),
+            nodes AS (SELECT doc_id AS id FROM documents UNION SELECT s FROM e),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT reach.id, e.d FROM reach JOIN e ON e.s = reach.r
+            )
+            SELECT id AS doc_id, min(r) AS cluster,
+                   min(r) = id AS is_keeper
+            FROM reach GROUP BY id
         """,
         "events_hopping_window": """
             WITH hop AS (

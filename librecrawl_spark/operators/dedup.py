@@ -313,3 +313,71 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
+                         nodes: DataFrame | None = None, id_col: str = "id",
+                         max_iter: int = 64) -> DataFrame:
+    """Connected components by min-label propagation with pointer
+    jumping: each round relaxes labels across edges (``groupBy(min)`` —
+    partial aggregation, no window) then shortcuts ``comp <- comp[comp]``
+    (one self-join), giving O(log diameter) rounds on paths instead of
+    O(diameter). Returns ``(id, comp)`` with comp = min node id in the
+    component — deterministic and engine-independent.
+
+    Scale shape: per round one edge join hash-partitioned on the node
+    key plus one label self-join; labels only ever decrease, so
+    ``sum(comp)`` is strictly decreasing until the fixpoint — the
+    convergence probe is a single scalar aggregate per round (exact, not
+    a checksum). No driver-side graph state; ``nodes`` (optional) adds
+    isolated vertices as singleton components."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    sym = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    sym = sym.filter(F.col("s") != F.col("d")).distinct().persist()
+    base = sym.select(F.col("s").alias(id_col))
+    if nodes is not None:
+        base = base.unionByName(nodes.select(F.col(id_col)))
+    lbl = base.distinct().select(id_col, F.col(id_col).alias("comp")).persist()
+    prev = None
+    for _ in range(max_iter):
+        relaxed = (
+            sym.join(lbl, sym["s"] == lbl[id_col])
+            .select(sym["d"].alias(id_col), lbl["comp"].alias("comp"))
+            .unionByName(lbl)
+            .groupBy(id_col)
+            .agg(F.min("comp").alias("comp"))
+        )
+        jump = relaxed.select(F.col(id_col).alias("_j"), F.col("comp").alias("_jc"))
+        new = (
+            relaxed.join(jump, relaxed["comp"] == jump["_j"], "left")
+            .select(id_col, F.coalesce("_jc", "comp").alias("comp"))
+            .persist()
+        )
+        # labels are monotone non-increasing, so an unchanged sum IS the
+        # fixpoint (decimal: 10^9 nodes x 10^10-scale ids overflows long)
+        cur = new.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+        lbl.unpersist()
+        lbl = new
+        if cur == prev:
+            break
+        prev = cur
+    sym.unpersist()
+    return lbl
+
+
+def dup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                 pair_cols: tuple[str, str] = ("doc_a", "doc_b")) -> DataFrame:
+    """Duplicate clusters from near-dup PAIRS (any of the pair producers
+    above: minhash_lsh_candidates, simhash_dup_groups,
+    ngram_jaccard_pairs, similarity.embedding_near_dups): the transitive
+    closure groups A~B~C into one cluster labeled by its min doc_id.
+    Docs in no pair are singleton clusters. The canonical final step of
+    a dedup pipeline — keep ``is_keeper`` rows, drop the rest."""
+    edges = pairs.select(F.col(pair_cols[0]).alias("src"),
+                         F.col(pair_cols[1]).alias("dst"))
+    cc = connected_components(
+        edges, nodes=docs.select(F.col(id_col).alias("id")))
+    return cc.select(
+        F.col("id").alias(id_col), F.col("comp").alias("cluster"),
+        (F.col("id") == F.col("comp")).alias("is_keeper"))

@@ -40,6 +40,45 @@ class TestDedup:
         assert (1, 2) in pairs
         assert (1, 3) not in pairs and (2, 3) not in pairs
 
+    def test_connected_components_planted(self, spark):
+        from librecrawl_spark.operators.dedup import dup_clusters
+
+        # triangle {1,2,3}, pair {10,11}, a 20-node path (exercises the
+        # pointer-jumping rounds), and singletons 50/51
+        path = [(100 + i, 101 + i) for i in range(19)]
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (10, 11)] + path,
+            "doc_a long, doc_b long",
+        )
+        docs = spark.createDataFrame(
+            [(i,) for i in (1, 2, 3, 10, 11, 50, 51)]
+            + [(100 + i,) for i in range(20)],
+            "doc_id long",
+        )
+        got = {r["doc_id"]: (r["cluster"], r["is_keeper"])
+               for r in dup_clusters(docs, pairs).collect()}
+        assert got[1] == (1, True) and got[2] == (1, False) and got[3] == (1, False)
+        assert got[10] == (10, True) and got[11] == (10, False)
+        assert got[50] == (50, True) and got[51] == (51, True)
+        for i in range(20):
+            assert got[100 + i] == (100, i == 0)
+
+    def test_dup_clusters_from_simhash_pairs(self, spark):
+        from librecrawl_spark.operators.dedup import (
+            dup_clusters, simhash_dup_groups)
+
+        base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+        df = spark.createDataFrame(
+            [(1, base), (2, base + " tail"), (3, base + " tail two"),
+             (9, "entirely unrelated words in this document body here")],
+            "doc_id long, text string",
+        )
+        pairs = simhash_dup_groups(df, max_hamming=6)
+        out = {r["doc_id"]: r["cluster"]
+               for r in dup_clusters(df.select("doc_id"), pairs).collect()}
+        assert out[1] == out[2] == out[3] == 1
+        assert out[9] == 9
+
     def test_jaccard_threshold_monotone(self, docs):
         from librecrawl_spark.operators.dedup import ngram_jaccard_pairs
 
