@@ -1058,6 +1058,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def q4_late_orders(spark, sf):
+        """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join with a
+        non-equi conjunct (a lineitem shipped >60 days after the order
+        date). The semi-join keeps orders single-copy — no fanout from
+        multi-line orders, no post-join distinct — and AQE picks
+        broadcast vs shuffle from the runtime orders size."""
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        late = o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        return (late.groupBy("o_orderpriority")
+                .agg(F.count("*").alias("order_count")))
+
+    def q13_custdist(spark, sf):
+        """TPC-H Q13 shape: left OUTER join with a filtered right side
+        (the ON-clause predicate pushed below the join), per-customer
+        count, then a second aggregation over the counts — customers
+        with zero matching orders must survive as c_count=0."""
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+        per_cust = (
+            c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+            .groupBy(c["c_custkey"])
+            .agg(F.count(o["o_orderkey"]).alias("c_count"))
+        )
+        return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+    def q22_idle_rich(spark, sf):
+        """TPC-H Q22 shape: scalar-subquery threshold (avg positive
+        balance, broadcast as a 1-row frame) + NOT EXISTS decorrelated
+        to a LEFT ANTI join against urgent orders. Threshold rounded to
+        2 decimals on both engines so float summation order cannot flip
+        membership."""
+        c = _t(spark, sf, "customer")
+        urgent = (_t(spark, sf, "orders")
+                  .filter(F.col("o_orderpriority") == "1-URGENT")
+                  .select("o_custkey"))
+        avg_bal = (c.filter(F.col("c_acctbal") > 0)
+                   .agg(F.round(F.avg("c_acctbal"), 2).alias("_thr")))
+        rich = (c.crossJoin(F.broadcast(avg_bal))
+                .filter(F.col("c_acctbal") > F.col("_thr")))
+        idle = rich.join(urgent, rich["c_custkey"] == urgent["o_custkey"],
+                         "left_anti")
+        return (idle.groupBy("c_mktsegment")
+                .agg(F.count("*").alias("numcust"),
+                     F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
+
+    def q14_promo_share(spark, sf):
+        """TPC-H Q14 shape: conditional aggregation (sum of CASE) over a
+        fact-dim join, emitting a ratio. Numerator and denominator are
+        rounded to 2 decimals BEFORE the division on both engines so the
+        ratio is bit-identical regardless of summation order."""
+        li = _t(spark, sf, "lineitem").filter(
+            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-12-01").cast("timestamp_ntz")))
+        p = _t(spark, sf, "part").select("p_partkey", "p_type")
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        return j.agg(
+            F.round(
+                100.0
+                * F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                                .otherwise(F.lit(0.0))), 2)
+                / F.round(F.sum(rev), 2),
+                4,
+            ).alias("promo_revenue_pct"),
+            F.count("*").alias("n_lines"),
+        )
+
     return {
         "a1_stats_counts": a1_stats_counts,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1113,6 +1186,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_homepage": w2_homepage,
         "events_hopping_window": events_hopping_window,
         "dedup_clusters": dedup_clusters,
+        "q4_late_orders": q4_late_orders,
+        "q13_custdist": q13_custdist,
+        "q22_idle_rich": q22_idle_rich,
+        "q14_promo_share": q14_promo_share,
     }
 
 
@@ -2249,5 +2326,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(ws AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S') AS win_start,
                    event_type, count(*) AS n, round(sum(value), 4) AS sum_value
             FROM hop GROUP BY win_start, event_type
+        """,
+        "q4_late_orders": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "q13_custdist": """
+            SELECT c_count, count(*) AS custdist FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey) t
+            GROUP BY c_count
+        """,
+        "q22_idle_rich": """
+            SELECT c_mktsegment, count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2)
+                               FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            GROUP BY c_mktsegment
+        """,
+        "q14_promo_share": """
+            SELECT round(
+                     100.0 * round(sum(CASE WHEN p_type = 'PROMO'
+                                        THEN l_extendedprice * (1 - l_discount)
+                                        ELSE 0.0 END), 2)
+                     / round(sum(l_extendedprice * (1 - l_discount)), 2),
+                     4) AS promo_revenue_pct,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+              AND l_shipdate < TIMESTAMP '1996-12-01'
         """,
     }
