@@ -348,10 +348,16 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
             .agg(F.min("comp").alias("comp"))
         )
         jump = relaxed.select(F.col(id_col).alias("_j"), F.col("comp").alias("_jc"))
+        # eager localCheckpoint, not persist: `relaxed` appears twice in
+        # this plan (itself + jump), so lineage would DOUBLE per round —
+        # the analyzed plan grows 2^rounds and planning OOMs long before
+        # the data does. Truncating lineage each round keeps the plan
+        # O(1)-deep; on a multi-executor cluster swap in a reliable
+        # checkpoint dir at intervals for executor-loss tolerance.
         new = (
             relaxed.join(jump, relaxed["comp"] == jump["_j"], "left")
             .select(id_col, F.coalesce("_jc", "comp").alias("comp"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         # labels are monotone non-increasing, so an unchanged sum IS the
         # fixpoint (decimal: 10^9 nodes x 10^10-scale ids overflows long)

@@ -116,7 +116,13 @@ def discover_sitemap_page_urls(hosts: DataFrame,
     ``sitemapindex`` references through ``body_lookup(sitemap_url,
     sitemap_xml)`` up to MAX_SITEMAP_DEPTH; return distinct page URLs per
     host in first-seen order (U1 dedup, crawler.py:366)."""
-    parsed = parse_sitemaps(hosts.select("host", "sitemap_xml"))
+    # eager localCheckpoint per round: the isEmpty() probe and the later
+    # unions would otherwise re-run the Arrow XML parse of every prior
+    # round on each loop test (O(depth^2) parse work); checkpointing
+    # parses each sitemap body exactly once and keeps the loop's plan
+    # depth constant.
+    parsed = parse_sitemaps(
+        hosts.select("host", "sitemap_xml")).localCheckpoint(eager=True)
     pages = parsed.filter(F.col("kind") == "urlset").select("host", F.col("loc").alias("url"))
     nested = parsed.filter(F.col("kind") == "index").select(
         "host", F.col("loc").alias("sitemap_url")
@@ -124,7 +130,7 @@ def discover_sitemap_page_urls(hosts: DataFrame,
     depth = 0
     while body_lookup is not None and depth < MAX_SITEMAP_DEPTH and not nested.isEmpty():
         bodies = nested.join(body_lookup, "sitemap_url").select("host", "sitemap_xml")
-        parsed = parse_sitemaps(bodies)
+        parsed = parse_sitemaps(bodies).localCheckpoint(eager=True)
         pages = pages.unionByName(
             parsed.filter(F.col("kind") == "urlset").select("host", F.col("loc").alias("url"))
         )
