@@ -428,7 +428,7 @@ bring 4x memory bandwidth and IO with them.
 normalized to the ceiling: frontier {f_eff / ceiling:.2f}, extract
 {e_eff / ceiling:.2f}.
 
-## Methodology + optimization history (round 1)
+## Methodology + optimization history (rounds 1-4)
 
 Each measurement is the min over BENCH_REPS={os.environ.get('BENCH_REPS', '2')}
 repetitions inside one JVM; levels run in separate subprocesses (a
@@ -466,6 +466,8 @@ single runs are meaningless under this host's noise):
 | r2: regex-free policy (startswith/translate/substring_index) + single-rule robots as codegen startswith | policy stage stays in whole-stage codegen; array-lambda walk only for multi-rule hosts |
 | r2: fused probe (hot-signature check + seq bucket counts in one collect) | steady wave: 3 driver actions -> 2; one fewer full pass over accepted |
 | r2: slim post-policy cache (url, packed key, signature, ok) | robots/rules columns never hit cache storage |
+| r4: AQE coalesce minPartitionSize 1MB -> 64k (session.py default) | AQE sizes on COMPRESSED shuffle bytes, so text-heavy Arrow-UDF stages coalesced to half the cores; parallelismFirst's totalSize/parallelism target now wins: extract UDF stage 16 -> 48 partitions at local[32], 4N best 39.6k -> 41.6k docs/s (46k measured same-window) |
+| r4: eager localCheckpoint in iterative ops (connected components, sitemap loop) | pointer-jumping lineage doubled per round (2^rounds plan -> planner OOM); checkpoint keeps the plan O(1)-deep and parses each sitemap body once |
 
 On a real 4N-executor cluster — where added executors bring their own
 memory bandwidth and local disks — the calibration ceiling is ~1.0, so
