@@ -1042,6 +1042,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).filter("doc_a <> doc_b")
         return D.dup_clusters(d, pairs)
 
+    def pipe_stratified_sample(spark, sf):
+        """Deterministic per-stratum rate sampling
+        (pipeline.stratified_sample): keep a doc iff the first 16 bits
+        of md5('strat:' || doc_id) fall under its language's rate — the
+        corpus-rebalancing step, reproducible in the key across engines
+        and across corpus growth. Pure filter: no shuffle, no rand()."""
+        from librecrawl_spark.operators.pipeline import stratified_sample
+
+        d = _t(spark, sf, "documents")
+        rates = {"en": 0.5, "zh": 0.25, "de": 1.0, "fr": 0.1}
+        return stratified_sample(d, rates, default_rate=0.05).select(
+            "doc_id", "lang", "sample_key")
+
+    def pipe_chunk_packing(spark, sf):
+        """Concat-then-chunk sequence packing
+        (pipeline.concat_chunk_packing): global token prefix-sum in
+        doc_id order via the two-phase range-bucket plan (no
+        single-partition window), cut into 512-token training chunks."""
+        from librecrawl_spark.operators.pipeline import concat_chunk_packing
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.size(F.expr(r"regexp_extract_all(text, '\\w+', 0)"))
+            .cast("long").alias("n_tokens"),
+        )
+        out, _h = concat_chunk_packing(d, "n_tokens", budget=512)
+        return out.select("doc_id", "n_tokens", "start_off",
+                          "chunk_first", "chunk_last", "n_chunks")
+
+    def pipe_cluster_reps(spark, sf):
+        """Duplicate-cluster representative selection
+        (pipeline.cluster_representatives): over dedup_clusters' same
+        deterministic pair graph, keep the longest-text member per
+        cluster (ties -> min doc_id) via a map-side-combinable
+        max(struct) argmax — no per-cluster ordered window."""
+        from librecrawl_spark.operators.pipeline import cluster_representatives
+
+        d = _t(spark, sf, "documents")
+        n = d.count()
+        o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 149 == 0)
+        pairs = o.select(
+            (F.col("o_orderkey") % n).alias("doc_a"),
+            ((F.col("o_orderkey") * 7 + 3) % n).alias("doc_b"),
+        ).filter("doc_a <> doc_b")
+        cl = D.dup_clusters(d.select("doc_id"), pairs)
+        docs_q = d.select("doc_id", F.length("text").cast("long").alias("q"))
+        return cluster_representatives(docs_q, cl.select("doc_id", "cluster"), "q")
+
     def events_hopping_window(spark, sf):
         """Hopping (sliding) event-time window: 600s length, 300s slide —
         every event lands in exactly two windows. Streaming twin of the
@@ -1190,6 +1238,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_custdist": q13_custdist,
         "q22_idle_rich": q22_idle_rich,
         "q14_promo_share": q14_promo_share,
+        "pipe_stratified_sample": pipe_stratified_sample,
+        "pipe_chunk_packing": pipe_chunk_packing,
+        "pipe_cluster_reps": pipe_cluster_reps,
     }
 
 
@@ -1500,6 +1551,8 @@ def _c12_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from librecrawl_spark.operators.pipeline import _rate_threshold as _thr
+
     toks = r"regexp_extract_all(text, '\w+')"
     toks_l = r"regexp_extract_all(lower(text), '\w+')"
     shingles = (
@@ -2315,6 +2368,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id, min(r) AS cluster,
                    min(r) = id AS is_keeper
             FROM reach GROUP BY id
+        """,
+        "pipe_stratified_sample": f"""
+            WITH s AS (
+              SELECT doc_id, lang,
+                     substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                       AS sample_key
+              FROM documents)
+            SELECT doc_id, lang, sample_key FROM s
+            WHERE sample_key < CASE lang
+              WHEN 'en' THEN '{_thr(0.5)}' WHEN 'zh' THEN '{_thr(0.25)}'
+              WHEN 'de' THEN '{_thr(1.0)}' WHEN 'fr' THEN '{_thr(0.1)}'
+              ELSE '{_thr(0.05)}' END
+        """,
+        "pipe_chunk_packing": rf"""
+            WITH t AS (
+              SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS BIGINT) AS start_off
+              FROM t)
+            SELECT doc_id, n_tokens, start_off,
+                   start_off // 512 AS chunk_first,
+                   (start_off + greatest(n_tokens, 1) - 1) // 512 AS chunk_last,
+                   ((start_off + greatest(n_tokens, 1) - 1) // 512)
+                     - (start_off // 512) + 1 AS n_chunks
+            FROM c
+        """,
+        "pipe_cluster_reps": """
+            WITH RECURSIVE nd AS (SELECT count(*) AS n FROM documents),
+            e0 AS (
+              SELECT CAST(o_orderkey % (SELECT n FROM nd) AS BIGINT) AS a,
+                     CAST((o_orderkey * 7 + 3) % (SELECT n FROM nd) AS BIGINT) AS b
+              FROM orders WHERE o_orderkey % 149 = 0
+            ),
+            e1 AS (SELECT a, b FROM e0 WHERE a <> b),
+            e AS (SELECT a AS s, b AS d FROM e1 UNION SELECT b, a FROM e1),
+            nodes AS (SELECT doc_id AS id FROM documents UNION SELECT s FROM e),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT reach.id, e.d FROM reach JOIN e ON e.s = reach.r
+            ),
+            cl AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+            q AS (
+              SELECT cl.cluster, cl.doc_id, CAST(len(d.text) AS BIGINT) AS q
+              FROM cl JOIN documents d USING (doc_id)),
+            r AS (
+              SELECT cluster, doc_id, q,
+                     row_number() OVER (PARTITION BY cluster
+                                        ORDER BY q DESC, doc_id ASC) AS rn,
+                     count(*) OVER (PARTITION BY cluster) AS cluster_size
+              FROM q)
+            SELECT cluster, doc_id AS rep_doc_id, q AS rep_quality, cluster_size
+            FROM r WHERE rn = 1
         """,
         "events_hopping_window": """
             WITH hop AS (

@@ -1,0 +1,180 @@
+"""Training-data pipeline operators: deterministic stratified sampling,
+concat-then-chunk sequence packing, and dedup-cluster representative
+selection.
+
+These are the three steps a 100 TB corpus build runs after extraction +
+dedup: downsample over-represented strata, pick one keeper per duplicate
+cluster, and pack the survivors into fixed-token training windows. All
+three are pure DataFrame plans — no Python in the hot path — and each
+has a DuckDB-oracle twin in __spark_entry__.oracle_sql().
+
+Scale notes per operator are inline; the common theme is that nothing
+here uses a single-partition global window or driver-side iteration
+over rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .frontier import default_seq_buckets
+
+
+def _rate_threshold(rate: float) -> str:
+    """16-bit hex threshold string for a sampling rate. Fixed-width
+    lowercase hex compares lexicographically == numerically in every
+    engine; rate >= 1 maps to 'zzzz' which sorts above every hex digit,
+    so such strata keep every row."""
+    if rate >= 1.0:
+        return "zzzz"
+    return format(max(int(round(rate * 65536)), 0), "04x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "strat",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum rate sampling: keep a row iff the first
+    16 bits of md5(salt ':' key) fall below rate * 2^16 for its stratum.
+
+    The standard corpus rebalancing step (downsample the over-represented
+    language / source buckets). Deterministic in the KEY, not the row:
+    re-running over a grown corpus keeps exactly the previously-kept keys
+    plus new ones at the same rate — reproducible snapshots without
+    storing a kept-keys table. md5-hex-prefix comparison is portable
+    across engines (same trick as dedup.py's minhash primitive).
+
+    Scale shape: a single filter over the scan — no shuffle, no sort, no
+    sampling pass; Catalyst pushes surviving-column pruning into the
+    parquet read. Never uses df.sample() (partition-order dependent) or
+    rand() (non-reproducible).
+    """
+    key16 = F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))), 1, 4
+    )
+    thr: Column = F.lit(_rate_threshold(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(F.col(stratum_col) == stratum,
+                     F.lit(_rate_threshold(rate))).otherwise(thr)
+    return df.withColumn("sample_key", key16).filter(F.col("sample_key") < thr)
+
+
+def concat_chunk_packing(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_col: str = "doc_id",
+):
+    """Concat-then-chunk sequence packing: lay every document's tokens
+    end-to-end in deterministic ``order_col`` order and cut the stream
+    into fixed ``budget``-token training windows (the GPT-style packing
+    used when documents may straddle window boundaries).
+
+    Emits per doc: ``start_off`` (exclusive prefix sum of tokens),
+    ``chunk_first``/``chunk_last`` (the first/last window the document's
+    tokens land in; zero-token docs anchor to their boundary), and
+    ``n_chunks`` spanned. Downstream, window w's members are the rows
+    with chunk_first <= w <= chunk_last.
+
+    Physical strategy (scale): the naive plan is one global ordered
+    window — a single-partition serialization wall at 10^9 docs. Instead
+    the prefix sum is two-phase, the same shape as frontier.py's
+    ordered_seq_by_key: range-repartition on ``order_col`` (disjoint
+    ordered buckets), aggregate one token-sum per bucket (tiny collect:
+    one row per partition), broadcast the bucket prefix offsets back,
+    and run the cumulative sum per-bucket in parallel.
+
+    Returns ``(out, cache_handle)``; the caller unpersists the handle
+    once the result is materialized (same contract as
+    ordered_seq_by_key).
+    """
+    spark = df.sparkSession
+    n_part = default_seq_buckets(spark)
+    d = (
+        df.repartitionByRange(n_part, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    sums = {
+        r["_pid"]: r["s"]
+        for r in d.groupBy("_pid")
+        .agg(F.coalesce(F.sum(token_col), F.lit(0)).cast("long").alias("s"))
+        .collect()
+    }
+    if not sums:
+        d.unpersist()
+        out = df.select(
+            "*",
+            F.lit(0).cast("long").alias("start_off"),
+            F.lit(0).cast("long").alias("chunk_first"),
+            F.lit(0).cast("long").alias("chunk_last"),
+            F.lit(1).cast("long").alias("n_chunks"),
+        )
+        return out.limit(0), None
+    offsets, acc = {}, 0
+    for k in sorted(sums):
+        offsets[k] = acc
+        acc += sums[k]
+    odf = F.broadcast(
+        spark.createDataFrame(list(offsets.items()), schema="_pid int, _off long")
+    )
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    tok = F.col(token_col).cast("long")
+    start = (F.col("_off") + F.sum(tok).over(w) - tok).cast("long")
+    b = F.lit(int(budget)).cast("long")
+    # exact integer division (start >= 0): floor(a/b) as ((a - a%b)/b).
+    # Plain floor(double_div) can mis-round once totals pass 2^53 tokens;
+    # the subtract-mod form divides an exact multiple of b instead.
+    idiv = lambda a: ((a - F.pmod(a, b)) / b).cast("long")
+    chunk_first = idiv(start)
+    chunk_last = idiv(start + F.greatest(tok, F.lit(1)) - F.lit(1))
+    out = (
+        d.join(odf, "_pid")
+        .withColumn("start_off", start)
+        .withColumn("chunk_first", chunk_first)
+        .withColumn("chunk_last", chunk_last)
+        .withColumn("n_chunks", (F.col("chunk_last") - F.col("chunk_first") + 1))
+        .drop("_pid", "_off")
+    )
+    return out, d
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    clusters: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pick one representative per duplicate cluster: the member with the
+    highest ``quality_col``, ties broken by the smallest ``id_col`` —
+    the refinement of dup_clusters' min-id ``is_keeper`` that a real
+    corpus build wants (keep the best copy, not an arbitrary one).
+
+    ``clusters`` is dup_clusters' output (``id_col``, ``cluster``).
+
+    Scale shape: one hash join on the doc id plus one groupBy(cluster)
+    with a map-side-combinable max(struct) — the argmax is an ordinary
+    aggregate, NOT a per-cluster ordered window, so a pathological
+    million-member cluster still combines partially instead of
+    serializing in one task.
+    """
+    j = clusters.join(
+        docs.select(F.col(id_col), F.col(quality_col).alias("_q")), id_col
+    )
+    m = F.max(
+        F.struct(F.col("_q").alias("q"), (-F.col(id_col)).alias("nid"))
+    ).alias("_m")
+    return (
+        j.groupBy("cluster")
+        .agg(m, F.count("*").alias("cluster_size"))
+        .select(
+            "cluster",
+            (-F.col("_m.nid")).alias("rep_doc_id"),
+            F.col("_m.q").alias("rep_quality"),
+            "cluster_size",
+        )
+    )

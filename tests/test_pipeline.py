@@ -1,0 +1,181 @@
+"""Unit tests for the training-data pipeline operators
+(librecrawl_spark/operators/pipeline.py): stratified sampling,
+concat-then-chunk packing, cluster representative selection.
+
+Each test checks the engine against an independent pure-Python
+transcription of the operator's definition (hashlib md5 / running sums /
+argmax), not against the engine itself."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+TD = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{TD}/documents.parquet").persist()
+
+
+class TestStratifiedSample:
+    RATES = {"en": 0.5, "zh": 0.25, "de": 1.0, "fr": 0.1}
+
+    @staticmethod
+    def _py_keep(doc_id, lang, rates, default_rate=0.05):
+        from librecrawl_spark.operators.pipeline import _rate_threshold
+
+        key = hashlib.md5(f"strat:{doc_id}".encode()).hexdigest()[:4]
+        return key < _rate_threshold(rates.get(lang, default_rate))
+
+    def test_matches_python_md5_transcription(self, spark, docs):
+        from librecrawl_spark.operators.pipeline import stratified_sample
+
+        out = stratified_sample(
+            docs, self.RATES, default_rate=0.05
+        ).select("doc_id", "lang").collect()
+        got = {r["doc_id"] for r in out}
+        want = {
+            r["doc_id"]
+            for r in docs.select("doc_id", "lang").collect()
+            if self._py_keep(r["doc_id"], r["lang"], self.RATES)
+        }
+        assert got == want and len(want) > 0
+
+    def test_rate_one_keeps_all_rate_zero_keeps_none(self, spark):
+        from librecrawl_spark.operators.pipeline import stratified_sample
+
+        df = spark.createDataFrame(
+            [(i, "a" if i % 2 == 0 else "b") for i in range(200)],
+            "doc_id long, lang string",
+        )
+        out = stratified_sample(df, {"a": 1.0, "b": 0.0}).collect()
+        assert len(out) == 100 and all(r["lang"] == "a" for r in out)
+
+    def test_deterministic_and_monotone_in_corpus(self, spark):
+        """Keys kept at rate r over a 100-doc corpus are exactly the
+        kept keys of the same rate over the grown 300-doc corpus,
+        restricted to the first 100 ids (key-determinism)."""
+        from librecrawl_spark.operators.pipeline import stratified_sample
+
+        small = spark.createDataFrame(
+            [(i, "x") for i in range(100)], "doc_id long, lang string")
+        big = spark.createDataFrame(
+            [(i, "x") for i in range(300)], "doc_id long, lang string")
+        ks = {r["doc_id"] for r in stratified_sample(small, {"x": 0.3}).collect()}
+        kb = {r["doc_id"] for r in stratified_sample(big, {"x": 0.3}).collect()}
+        assert ks == {k for k in kb if k < 100}
+
+
+class TestChunkPacking:
+    BUDGET = 64
+
+    def test_matches_sequential_transcription(self, spark, docs):
+        from librecrawl_spark.operators.pipeline import concat_chunk_packing
+
+        d = docs.select(
+            "doc_id",
+            F.size(F.expr(r"regexp_extract_all(text, '\\w+', 0)"))
+            .cast("long").alias("n_tokens"),
+        )
+        out, h = concat_chunk_packing(d, "n_tokens", budget=self.BUDGET)
+        rows = {r["doc_id"]: r for r in out.collect()}
+        if h is not None:
+            h.unpersist()
+
+        seq = sorted(
+            ((r["doc_id"], r["n_tokens"]) for r in d.collect()),
+        )
+        off = 0
+        assert len(rows) == len(seq) > 0
+        for doc_id, tok in seq:
+            r = rows[doc_id]
+            first = off // self.BUDGET
+            last = (off + max(tok, 1) - 1) // self.BUDGET
+            assert r["start_off"] == off
+            assert r["chunk_first"] == first
+            assert r["chunk_last"] == last
+            assert r["n_chunks"] == last - first + 1
+            off += tok
+
+    def test_chunk_membership_covers_budget(self, spark):
+        """Every chunk except the last holds exactly `budget` tokens
+        when intersecting doc spans with the chunk interval."""
+        from librecrawl_spark.operators.pipeline import concat_chunk_packing
+
+        df = spark.createDataFrame(
+            [(i, (i * 37 + 11) % 90 + 1) for i in range(500)],
+            "doc_id long, n_tokens long",
+        )
+        out, h = concat_chunk_packing(df, "n_tokens", budget=128)
+        rows = out.collect()
+        if h is not None:
+            h.unpersist()
+        total = sum(r["n_tokens"] for r in rows)
+        n_chunks = (total + 127) // 128
+        per_chunk = [0] * n_chunks
+        for r in rows:
+            s, e = r["start_off"], r["start_off"] + r["n_tokens"]
+            for c in range(r["chunk_first"], r["chunk_last"] + 1):
+                lo, hi = c * 128, (c + 1) * 128
+                per_chunk[c] += max(0, min(e, hi) - max(s, lo))
+        assert all(v == 128 for v in per_chunk[:-1])
+        assert per_chunk[-1] == total - 128 * (n_chunks - 1)
+
+    def test_empty_input(self, spark):
+        from librecrawl_spark.operators.pipeline import concat_chunk_packing
+
+        df = spark.createDataFrame([], "doc_id long, n_tokens long")
+        out, _ = concat_chunk_packing(df, "n_tokens", budget=16)
+        assert out.count() == 0
+
+
+class TestClusterRepresentatives:
+    def test_argmax_with_tiebreak(self, spark):
+        from librecrawl_spark.operators.pipeline import cluster_representatives
+
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+            "doc_id long, cluster long",
+        )
+        docs = spark.createDataFrame(
+            [(1, 10), (2, 30), (3, 30), (4, 7), (5, 2), (6, 2)],
+            "doc_id long, q long",
+        )
+        got = {r["cluster"]: r for r in
+               cluster_representatives(docs, clusters, "q").collect()}
+        # cluster 1: max q=30 tie between 2 and 3 -> min doc_id 2
+        assert got[1]["rep_doc_id"] == 2 and got[1]["rep_quality"] == 30
+        assert got[1]["cluster_size"] == 3
+        assert got[4]["rep_doc_id"] == 4 and got[4]["cluster_size"] == 1
+        # cluster 5: tie at q=2 -> doc 5
+        assert got[5]["rep_doc_id"] == 5
+
+    def test_on_dup_clusters_output(self, spark, docs):
+        from librecrawl_spark.operators.dedup import dup_clusters
+        from librecrawl_spark.operators.pipeline import cluster_representatives
+
+        ids = docs.select("doc_id")
+        n = ids.count()
+        pairs = spark.createDataFrame(
+            [(i % n, (i * 3 + 1) % n) for i in range(0, n, 7)],
+            "doc_a long, doc_b long",
+        ).filter("doc_a <> doc_b")
+        cl = dup_clusters(ids, pairs)
+        q = docs.select("doc_id", F.length("text").cast("long").alias("q"))
+        reps = cluster_representatives(q, cl.select("doc_id", "cluster"), "q")
+        # every cluster gets exactly one representative; representative
+        # quality is the member max (checked via python argmax)
+        cl_rows = cl.collect()
+        q_map = {r["doc_id"]: r["q"] for r in q.collect()}
+        by_cluster = {}
+        for r in cl_rows:
+            by_cluster.setdefault(r["cluster"], []).append(r["doc_id"])
+        got = {r["cluster"]: r for r in reps.collect()}
+        assert set(got) == set(by_cluster)
+        for c, members in by_cluster.items():
+            best = sorted(members, key=lambda m: (-q_map[m], m))[0]
+            assert got[c]["rep_doc_id"] == best
+            assert got[c]["rep_quality"] == q_map[best]
+            assert got[c]["cluster_size"] == len(members)
