@@ -1090,6 +1090,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs_q = d.select("doc_id", F.length("text").cast("long").alias("q"))
         return cluster_representatives(docs_q, cl.select("doc_id", "cluster"), "q")
 
+    def pipe_contamination(spark, sf):
+        """Benchmark decontamination (pipeline.benchmark_contamination):
+        corpus docs sharing 3-token shingles with a benchmark subset
+        (doc_id % 83 == 0 simulates the eval set) via a broadcast
+        inverted-index join — corpus never shuffles, never all-pairs."""
+        from librecrawl_spark.operators.pipeline import benchmark_contamination
+
+        d = _t(spark, sf, "documents")
+        return benchmark_contamination(d, d.filter(F.col("doc_id") % 83 == 0))
+
     def events_hopping_window(spark, sf):
         """Hopping (sliding) event-time window: 600s length, 300s slide —
         every event lands in exactly two windows. Streaming twin of the
@@ -1241,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_stratified_sample": pipe_stratified_sample,
         "pipe_chunk_packing": pipe_chunk_packing,
         "pipe_cluster_reps": pipe_cluster_reps,
+        "pipe_contamination": pipe_contamination,
     }
 
 
@@ -2397,6 +2408,28 @@ def oracle_sql() -> dict[str, str]:
                    ((start_off + greatest(n_tokens, 1) - 1) // 512)
                      - (start_off // 512) + 1 AS n_chunks
             FROM c
+        """,
+        "pipe_contamination": rf"""
+            WITH s AS (
+              SELECT doc_id, list_distinct({shingles}) AS sh FROM documents
+            ),
+            nz AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+            cinv AS (SELECT doc_id, unnest(sh) AS shingle FROM nz),
+            binv AS (
+              SELECT doc_id AS bench_id, unnest(sh) AS shingle
+              FROM nz WHERE doc_id % 83 = 0),
+            g AS (
+              SELECT doc_id,
+                     count(DISTINCT shingle) AS n_hit_shingles,
+                     count(DISTINCT bench_id) AS n_bench_docs
+              FROM cinv JOIN binv USING (shingle)
+              GROUP BY doc_id)
+            SELECT g.doc_id, n_hit_shingles, n_bench_docs,
+                   CAST(len(nz.sh) AS BIGINT) AS n_shingles,
+                   round(CAST(n_hit_shingles AS DOUBLE) / len(nz.sh), 6)
+                     AS contamination_ratio
+            FROM g JOIN nz ON nz.doc_id = g.doc_id
+            WHERE n_hit_shingles >= 1
         """,
         "pipe_cluster_reps": """
             WITH RECURSIVE nd AS (SELECT count(*) AS n FROM documents),

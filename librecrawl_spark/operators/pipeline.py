@@ -122,7 +122,10 @@ def concat_chunk_packing(
     odf = F.broadcast(
         spark.createDataFrame(list(offsets.items()), schema="_pid int, _off long")
     )
-    w = Window.partitionBy("_pid").orderBy(order_col)
+    # explicit ROWS frame: the default RANGE frame would sum peer rows
+    # together if order_col ever carried duplicates
+    w = (Window.partitionBy("_pid").orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     tok = F.col(token_col).cast("long")
     start = (F.col("_off") + F.sum(tok).over(w) - tok).cast("long")
     b = F.lit(int(budget)).cast("long")
@@ -141,6 +144,58 @@ def concat_chunk_packing(
         .drop("_pid", "_off")
     )
     return out, d
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    k: int | None = None,
+    min_hits: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing k-token
+    n-grams with an evaluation-benchmark set (the GPT-3/PaLM-style
+    overlap check run before training). Emits one row per contaminated
+    doc: distinct overlapping shingles, distinct benchmark docs hit,
+    the doc's shingle count, and the contamination ratio.
+
+    Both sides reuse dedup.py's distinct k-shingle construction (JVM
+    higher-order functions, no UDF), so the n-gram definition is shared
+    with the jaccard/minhash operators and their oracles.
+
+    Scale shape: benchmark sets are small next to a 100 TB corpus
+    (10^4-10^6 docs), so the exploded benchmark index broadcasts and the
+    corpus side streams through a map-side hash join — no shuffle of the
+    corpus, no all-pairs. The per-doc groupBy partial-aggregates. Set
+    ``broadcast_benchmark=False`` for an oversized benchmark; the plan
+    degrades to an ordinary shuffled inverted-index join (still never
+    quadratic).
+    """
+    from .dedup import SHINGLE_K, shingle_sets
+
+    kk = SHINGLE_K if k is None else k
+    c_nz = shingle_sets(corpus, text_col, kk).filter(F.size("shingles") > 0)
+    c_inv = c_nz.select("doc_id", F.explode("shingles").alias("shingle"))
+    b_inv = shingle_sets(benchmark, text_col, kk).select(
+        F.col("doc_id").alias("bench_id"), F.explode("shingles").alias("shingle")
+    )
+    right = F.broadcast(b_inv) if broadcast_benchmark else b_inv
+    g = (
+        c_inv.join(right, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_hit_shingles"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+        .filter(F.col("n_hit_shingles") >= min_hits)
+    )
+    sizes = c_nz.select("doc_id", F.size("shingles").cast("long").alias("n_shingles"))
+    return g.join(sizes, "doc_id").select(
+        "doc_id", "n_hit_shingles", "n_bench_docs", "n_shingles",
+        F.round(F.col("n_hit_shingles") / F.col("n_shingles"), 6)
+        .alias("contamination_ratio"),
+    )
 
 
 def cluster_representatives(

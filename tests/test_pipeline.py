@@ -131,6 +131,63 @@ class TestChunkPacking:
         assert out.count() == 0
 
 
+class TestContamination:
+    def test_planted_overlap(self, spark):
+        from librecrawl_spark.operators.pipeline import benchmark_contamination
+
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                # shares the 3-gram "quick brown fox" (and more)
+                (1, "a quick brown fox appeared in the garden today"),
+                # no 3-token overlap
+                (2, "completely unrelated text with different words entirely"),
+                # exact copy -> ratio 1.0
+                (3, "the quick brown fox jumps over the lazy dog"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in
+               benchmark_contamination(corpus, bench).collect()}
+        assert set(got) == {1, 3}
+        assert got[3]["contamination_ratio"] == 1.0
+        assert got[3]["n_bench_docs"] == 1
+        # doc 1: tokens = a quick brown fox appeared in the garden today
+        # shared distinct 3-grams with bench: "quick brown fox" only
+        assert got[1]["n_hit_shingles"] == 1
+        assert got[1]["n_shingles"] == 7
+
+    def test_matches_python_transcription_on_fixture(self, spark, docs):
+        from librecrawl_spark.operators.pipeline import benchmark_contamination
+        import re
+
+        bench = docs.filter(F.col("doc_id") % 83 == 0)
+        got = {r["doc_id"]: (r["n_hit_shingles"], r["n_bench_docs"],
+                             r["n_shingles"])
+               for r in benchmark_contamination(docs, bench).collect()}
+
+        def sh(text):
+            # ASCII \w to match Java/RE2 semantics (not Python's unicode \w)
+            t = re.findall(r"[0-9A-Za-z_]+", text or "")
+            return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+        rows = docs.select("doc_id", "text").collect()
+        b = {r["doc_id"]: sh(r["text"]) for r in rows if r["doc_id"] % 83 == 0}
+        want = {}
+        for r in rows:
+            s = sh(r["text"])
+            if not s:
+                continue
+            hit = set().union(*(s & bs for bs in b.values())) if b else set()
+            nb = sum(1 for bs in b.values() if s & bs)
+            if hit:
+                want[r["doc_id"]] = (len(hit), nb, len(s))
+        assert got == want and len(want) > 0
+
+
 class TestClusterRepresentatives:
     def test_argmax_with_tiebreak(self, spark):
         from librecrawl_spark.operators.pipeline import cluster_representatives
