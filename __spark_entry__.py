@@ -1100,6 +1100,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         return benchmark_contamination(d, d.filter(F.col("doc_id") % 83 == 0))
 
+    def text_repetition(spark, sf):
+        """Gopher-style repetition quality gate (text.repetition_filter)
+        over a deterministically line-structured view of documents
+        (7-token lines), exercising the duplicate-line AND top-2-gram
+        metrics on both engines."""
+        from librecrawl_spark.operators.text import repetition_filter
+
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        toks = F.expr(r"regexp_extract_all(lower(text), '\\w+', 0)")
+        n = F.size(toks)
+        lines = F.transform(
+            F.sequence(F.lit(0), F.ceil(n / F.lit(7)).cast("int") - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * 7 + 1, 7)),
+        )
+        lined = F.when(n > 0, F.concat_ws("\n", lines)).otherwise(F.lit(""))
+        return repetition_filter(d.select("doc_id", lined.alias("text")))
+
     def events_hopping_window(spark, sf):
         """Hopping (sliding) event-time window: 600s length, 300s slide —
         every event lands in exactly two windows. Streaming twin of the
@@ -1252,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_chunk_packing": pipe_chunk_packing,
         "pipe_cluster_reps": pipe_cluster_reps,
         "pipe_contamination": pipe_contamination,
+        "text_repetition": text_repetition,
     }
 
 
@@ -2430,6 +2448,69 @@ def oracle_sql() -> dict[str, str]:
                      AS contamination_ratio
             FROM g JOIN nz ON nz.doc_id = g.doc_id
             WHERE n_hit_shingles >= 1
+        """,
+        "text_repetition": rf"""
+            WITH t AS (
+              SELECT doc_id, {toks_l} AS tk FROM documents
+            ),
+            lined AS (
+              SELECT doc_id, tk,
+                     CASE WHEN len(tk) > 0 THEN
+                       list_aggr(list_transform(
+                         range(0, CAST(ceil(len(tk) / 7.0) AS INT)),
+                         i -> array_to_string(tk[i*7+1 : i*7+7], ' ')),
+                         'string_agg', chr(10))
+                     ELSE '' END AS text2
+              FROM t
+            ),
+            m AS (
+              SELECT doc_id, tk,
+                     list_filter(list_transform(string_split(text2, chr(10)),
+                                                x -> trim(x)), x -> x <> '') AS ln,
+                     CASE WHEN len(tk) >= 2 THEN
+                       list_transform(range(1, len(tk)),
+                                      i -> tk[i] || ' ' || tk[i+1])
+                     ELSE [] END AS grams
+              FROM lined
+            ),
+            topg AS (
+              SELECT doc_id, gram AS top_2gram, cnt AS top_2gram_count
+              FROM (
+                SELECT doc_id, gram, count(*) AS cnt,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY count(*) DESC, gram ASC) AS rn
+                FROM (SELECT doc_id, unnest(grams) AS gram FROM m)
+                GROUP BY doc_id, gram
+              ) WHERE rn = 1
+            ),
+            f AS (
+              SELECT m.doc_id,
+                     len(ln) AS n_lines,
+                     CASE WHEN len(ln) > 0 THEN round(
+                       (len(ln) - len(list_distinct(ln))) * 1.0 / len(ln), 6)
+                     ELSE 0.0 END AS dup_line_frac,
+                     CASE WHEN coalesce(list_sum(list_transform(ln, x -> len(x))), 0) > 0
+                       THEN round(
+                         (list_sum(list_transform(ln, x -> len(x)))
+                          - list_sum(list_transform(list_distinct(ln), x -> len(x))))
+                         * 1.0 / list_sum(list_transform(ln, x -> len(x))), 6)
+                     ELSE 0.0 END AS dup_line_char_frac,
+                     CASE WHEN len(tk) > 0 THEN round(
+                       (len(tk) - len(list_distinct(tk))) * 1.0 / len(tk), 6)
+                     ELSE 0.0 END AS word_rep_ratio,
+                     topg.top_2gram,
+                     coalesce(topg.top_2gram_count, 0) AS top_2gram_count,
+                     CASE WHEN coalesce(list_sum(list_transform(tk, x -> len(x))), 0) > 0
+                          AND topg.top_2gram IS NOT NULL
+                       THEN round(topg.top_2gram_count * (len(topg.top_2gram) - 1)
+                         * 1.0 / list_sum(list_transform(tk, x -> len(x))), 6)
+                     ELSE 0.0 END AS top_2gram_char_frac
+              FROM m LEFT JOIN topg ON m.doc_id = topg.doc_id
+            )
+            SELECT *,
+                   (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+                    AND top_2gram_char_frac <= 0.20) AS keep
+            FROM f
         """,
         "pipe_cluster_reps": """
             WITH RECURSIVE nd AS (SELECT count(*) AS n FROM documents),

@@ -136,6 +136,101 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     )
 
 
+def repetition_metrics(df: DataFrame, text_col: str = "text",
+                       line_sep: str = "\n") -> DataFrame:
+    """Gopher/MassiveText-style repetition quality metrics (Rae et al.
+    2021, "Scaling Language Models", appendix A1.1 — the standard
+    repetition pre-filters run over a web corpus before training):
+
+    - ``dup_line_frac``      duplicate lines / total lines
+    - ``dup_line_char_frac`` characters in repeat occurrences of a line
+                             (beyond its first) / total line characters
+    - ``word_rep_ratio``     1 - distinct words / words
+    - ``top_2gram_char_frac`` characters covered by the most frequent
+                             word 2-gram / total word characters; ties
+                             break to the lexicographically smallest
+                             2-gram so the value is engine-portable
+
+    Lines are ``line_sep``-separated, trimmed, empties dropped. Words
+    are lowercase ``\\w+`` tokens (the corpus-wide tokenization shared
+    with token_count/quality_score). All fractions round to 6.
+
+    Scale shape: every metric is per-row column algebra — zero shuffle,
+    whole-stage codegen end to end. The top-2-gram mode is computed by
+    sorting the row's gram array and scanning it once with a linear
+    ``aggregate`` (run-length max), NOT an explode+groupBy — the corpus
+    never leaves its input partitioning."""
+    toks_sql = f"regexp_extract_all(lower({text_col}), '\\\\w+', 0)"
+    lines_raw = F.split(F.col(text_col), line_sep)
+    lines = F.filter(F.transform(lines_raw, F.trim), lambda l: l != "")
+    n_lines = F.size(lines)
+    n_dist_lines = F.size(F.array_distinct(lines))
+    sum_len = lambda arr: F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    line_chars = sum_len(lines)
+    dist_line_chars = sum_len(F.array_distinct(lines))
+    d = df.withColumn("_toks", F.expr(toks_sql))
+    toks = F.col("_toks")
+    n_toks = F.size(toks)
+    grams = F.when(
+        n_toks >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_toks - 1),
+            lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
+                               F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"),
+        F.lit(0).alias("best"), F.lit("").alias("bg"),
+    )
+
+    def _step(acc, g):
+        newrun = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            g.alias("prev"), newrun.alias("run"),
+            F.when(newrun > acc["best"], newrun).otherwise(acc["best"]).alias("best"),
+            F.when(newrun > acc["best"], g).otherwise(acc["bg"]).alias("bg"),
+        )
+
+    top = F.aggregate(F.array_sort(grams), zero, _step)
+    tok_chars = sum_len(toks)
+    # chars covered by the top 2-gram = occurrences x its word chars
+    # (the joining space is presentation, not corpus mass)
+    top_chars = top["best"] * (F.length(top["bg"]) - 1)
+    frac = lambda num, den: F.round(
+        F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 6)
+    return d.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        frac(n_lines - n_dist_lines, n_lines).alias("dup_line_frac"),
+        frac(line_chars - dist_line_chars, line_chars).alias("dup_line_char_frac"),
+        frac(n_toks - F.size(F.array_distinct(toks)), n_toks).alias("word_rep_ratio"),
+        F.when(F.size(grams) > 0, top["bg"]).otherwise(F.lit(None)).alias("top_2gram"),
+        F.when(F.size(grams) > 0, top["best"]).otherwise(F.lit(0)).alias("top_2gram_count"),
+        frac(F.when(F.size(grams) > 0, top_chars).otherwise(F.lit(0)), tok_chars)
+        .alias("top_2gram_char_frac"),
+    )
+
+
+def repetition_filter(df: DataFrame, text_col: str = "text",
+                      line_sep: str = "\n",
+                      max_dup_line_frac: float = 0.30,
+                      max_dup_line_char_frac: float = 0.20,
+                      max_top_2gram_char_frac: float = 0.20) -> DataFrame:
+    """The Gopher repetition gate: keep documents under all three
+    repetition thresholds (paper defaults). Returns the metrics plus a
+    ``keep`` flag so a pipeline can either filter or audit what a
+    filter would drop — same pure-codegen shape as repetition_metrics."""
+    m = repetition_metrics(df, text_col, line_sep)
+    return m.withColumn(
+        "keep",
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_line_char_frac") <= max_dup_line_char_frac)
+        & (F.col("top_2gram_char_frac") <= max_top_2gram_char_frac),
+    )
+
+
 def winnow_dup_candidates(df: DataFrame, text_col: str = "text",
                           k: int = 5, w: int = 4) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any winnowing fingerprint.

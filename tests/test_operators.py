@@ -229,6 +229,65 @@ class TestText:
         out = token_count(docs)
         assert out.filter("n_words <= 0").count() == 0
 
+    def test_repetition_metrics_planted(self, spark):
+        from librecrawl_spark.operators.text import (
+            repetition_filter, repetition_metrics)
+
+        d = spark.createDataFrame(
+            [
+                # 4 lines, "same line" twice -> dup_line_frac 0.25;
+                # line chars: 9+9+9+9=36, dup chars 9 -> 0.25
+                (1, "same line\nother one\nsame line\nlast line"),
+                # all-distinct lines and words, long enough that one
+                # 2-gram stays under the 20% char-coverage gate
+                (2, "one two three four\nfive six seven eight\n"
+                    "nine ten eleven twelve"),
+                # "very good" 2-gram 3x out of grams; words 6 tokens
+                (3, "very good very good very good"),
+                (4, ""),
+            ],
+            "doc_id long, text string",
+        )
+        m = {r["doc_id"]: r for r in repetition_metrics(d).collect()}
+        assert m[1]["dup_line_frac"] == 0.25
+        assert m[1]["dup_line_char_frac"] == 0.25
+        assert m[2]["dup_line_frac"] == 0.0
+        assert m[2]["word_rep_ratio"] == 0.0
+        # doc 3: tokens [very good]*3; grams sorted: good very x2,
+        # very good x3 -> top = "very good" count 3, covered 3*8=24 of
+        # 24 token chars
+        assert m[3]["top_2gram"] == "very good"
+        assert m[3]["top_2gram_count"] == 3
+        assert m[3]["top_2gram_char_frac"] == 1.0
+        assert m[3]["word_rep_ratio"] == round(1 - 2 / 6, 6)
+        assert m[4]["n_lines"] == 0 and m[4]["top_2gram_char_frac"] == 0.0
+        f = {r["doc_id"]: r["keep"] for r in repetition_filter(d).collect()}
+        assert f[2] is True and f[3] is False
+
+    def test_repetition_matches_python_transcription(self, docs):
+        import re
+        from collections import Counter
+
+        from librecrawl_spark.operators.text import repetition_metrics
+
+        rows = docs.select("doc_id", "text").collect()
+        got = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
+        for r in rows:
+            t = re.findall(r"[0-9A-Za-z_]+", (r["text"] or "").lower())
+            grams = [f"{a} {b}" for a, b in zip(t, t[1:])]
+            g = got[r["doc_id"]]
+            assert g["word_rep_ratio"] == (
+                round(1 - len(set(t)) / len(t), 6) if t else 0.0)
+            if grams:
+                c = Counter(grams)
+                # tie-break: smallest gram among max counts
+                mx = max(c.values())
+                bg = min(k for k, v in c.items() if v == mx)
+                assert g["top_2gram"] == bg and g["top_2gram_count"] == mx
+                tok_chars = sum(len(x) for x in t)
+                assert g["top_2gram_char_frac"] == round(
+                    mx * (len(bg) - 1) / tok_chars, 6)
+
 
 class TestMultimodal:
     def test_image_features_deterministic(self, spark):
