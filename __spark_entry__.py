@@ -1117,6 +1117,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lined = F.when(n > 0, F.concat_ws("\n", lines)).otherwise(F.lit(""))
         return repetition_filter(d.select("doc_id", lined.alias("text")))
 
+    def text_pii(spark, sf):
+        """PII scrubbing (text.scrub_pii) over documents with
+        deterministically planted identifiers (the fixture corpus has no
+        digits, so a doc_id-keyed subset gets an email / phone / IPv4
+        suffix — same expression on both engines)."""
+        from librecrawl_spark.operators.text import scrub_pii
+
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        did = F.col("doc_id")
+        t = F.concat(
+            F.col("text"),
+            F.when(did % 7 == 0,
+                   F.concat(F.lit(" contact user"), did.cast("string"),
+                            F.lit("@example.com now"))).otherwise(F.lit("")),
+            F.when(did % 11 == 0, F.lit(" call +1 555-0199")).otherwise(F.lit("")),
+            F.when(did % 13 == 0,
+                   F.concat(F.lit(" host 10.0."), (did % 250).cast("string"),
+                            F.lit(".1"))).otherwise(F.lit("")),
+        )
+        return scrub_pii(d.select("doc_id", t.alias("text")))
+
     def events_hopping_window(spark, sf):
         """Hopping (sliding) event-time window: 600s length, 300s slide —
         every event lands in exactly two windows. Streaming twin of the
@@ -1270,6 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_cluster_reps": pipe_cluster_reps,
         "pipe_contamination": pipe_contamination,
         "text_repetition": text_repetition,
+        "text_pii": text_pii,
     }
 
 
@@ -1576,6 +1598,37 @@ def _c12_sql() -> str:
         WHERE NOT regexp_matches(lang, '{_HREFLANG_RE}')
            OR (NOT lower(split_part(lang, '-', 1)) IN ({iso})
                AND lower(lang) <> 'x-default')
+    """
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB twin of text_pii: identical planted suffixes, identical
+    RE2/Java-portable patterns (shared PII_PATTERNS constants), counts
+    on the raw text, redaction applied in pattern order."""
+    from librecrawl_spark.operators.text import PII_PATTERNS
+
+    planted = (
+        "text"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' contact user' ||"
+        " CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN ' call +1 555-0199' ELSE '' END"
+        " || CASE WHEN doc_id % 13 = 0 THEN ' host 10.0.' ||"
+        " CAST(doc_id % 250 AS VARCHAR) || '.1' ELSE '' END"
+    )
+    counts = ", ".join(
+        f"len(regexp_extract_all(t, '{pat}')) AS n_{name}"
+        for name, pat in PII_PATTERNS
+    )
+    red = "t"
+    for name, pat in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>', 'g')"
+    names = [f"n_{name}" for name, _ in PII_PATTERNS]
+    return f"""
+        WITH p AS (SELECT doc_id, {planted} AS t FROM documents),
+        c AS (SELECT doc_id, {counts}, {red} AS redacted_text FROM p)
+        SELECT doc_id, {', '.join(names)},
+               ({' + '.join(names)}) > 0 AS has_pii, redacted_text
+        FROM c
     """
 
 
@@ -2512,6 +2565,7 @@ def oracle_sql() -> dict[str, str]:
                     AND top_2gram_char_frac <= 0.20) AS keep
             FROM f
         """,
+        "text_pii": _pii_oracle_sql(),
         "pipe_cluster_reps": """
             WITH RECURSIVE nd AS (SELECT count(*) AS n FROM documents),
             e0 AS (

@@ -231,6 +231,45 @@ def repetition_filter(df: DataFrame, text_col: str = "text",
     )
 
 
+# PII patterns: deliberately conservative, RE2/Java-portable (no
+# lookbehind), anchored on word boundaries so the same pattern string
+# runs identically in Spark (Java regex) and DuckDB (RE2).
+PII_PATTERNS = (
+    ("email", r"[0-9A-Za-z._%+\-]+@[0-9A-Za-z.\-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+\d{1,3}[ .\-]\d{3}[ .\-]\d{4}\b"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+)
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text",
+              redact: bool = True) -> DataFrame:
+    """PII scrubbing — the standard pre-training redaction pass (emails,
+    phone numbers, IPv4 addresses) over a web corpus. Emits per-doc
+    match counts per class and, with ``redact=True``, the text with
+    every match replaced by ``<CLASS>`` tokens (patterns applied in
+    PII_PATTERNS order, so a phone inside an already-redacted email
+    cannot double-fire).
+
+    Pure JVM regexp_count/regexp_replace — zero shuffle, codegen
+    end-to-end; the patterns avoid lookaround so the DuckDB oracle runs
+    the identical strings."""
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS
+    ]
+    out = df.select("doc_id", *counts, t.alias("_t"))
+    red = F.col("_t")
+    if redact:
+        for name, pat in PII_PATTERNS:
+            red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return out.select(
+        "doc_id", *[f"n_{n}" for n, _ in PII_PATTERNS],
+        (sum(F.col(f"n_{n}") for n, _ in PII_PATTERNS) > 0).alias("has_pii"),
+        *( [red.alias("redacted_text")] if redact else [] ),
+    )
+
+
 def winnow_dup_candidates(df: DataFrame, text_col: str = "text",
                           k: int = 5, w: int = 4) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any winnowing fingerprint.

@@ -264,6 +264,28 @@ class TestText:
         f = {r["doc_id"]: r["keep"] for r in repetition_filter(d).collect()}
         assert f[2] is True and f[3] is False
 
+    def test_scrub_pii_planted(self, spark):
+        from librecrawl_spark.operators.text import scrub_pii
+
+        d = spark.createDataFrame(
+            [
+                (1, "mail me at jane.doe+x@sub.example.co or call +44 020-7946"),
+                (2, "server at 192.168.0.1 and 10.0.0.255 up"),
+                (3, "clean text with no identifiers at all"),
+                (4, "double a@b.io b@c.io"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in scrub_pii(d).collect()}
+        assert (got[1]["n_email"], got[1]["n_phone"], got[1]["n_ipv4"]) == (1, 1, 0)
+        assert got[1]["redacted_text"] == "mail me at <EMAIL> or call <PHONE>"
+        assert got[2]["n_ipv4"] == 2 and got[2]["has_pii"]
+        assert got[2]["redacted_text"] == "server at <IPV4> and <IPV4> up"
+        assert not got[3]["has_pii"] and got[3]["redacted_text"] == \
+            "clean text with no identifiers at all"
+        assert got[4]["n_email"] == 2
+        assert got[4]["redacted_text"] == "double <EMAIL> <EMAIL>"
+
     def test_repetition_matches_python_transcription(self, docs):
         import re
         from collections import Counter
