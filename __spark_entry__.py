@@ -1227,6 +1227,249 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count("*").alias("n_lines"),
         )
 
+    def q7_volume_shipping(spark, sf):
+        """TPC-H Q7 shape: fact table joined through BOTH dimension
+        paths (supplier→nation and orders→customer→nation), a symmetric
+        two-nation disjunction, yearly rollup. All four dims broadcast;
+        the only shuffles are lineitem⋈orders (AQE-planned) and the
+        final small groupBy."""
+        li = _t(spark, sf, "lineitem").filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz")))
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+        s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+        c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+        n1 = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+        n2 = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+        j = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+             .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+             .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+             .join(F.broadcast(n1), s["s_nationkey"] == n1["sn_key"])
+             .join(F.broadcast(n2), c["c_nationkey"] == n2["cn_key"])
+             .filter(
+                 ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+                 | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))))
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (j.groupBy("supp_nation", "cust_nation",
+                          F.year("l_shipdate").alias("l_year"))
+                .agg(F.round(F.sum(rev), 2).alias("revenue"),
+                     F.count("*").alias("n_lines")))
+
+    def q8_market_share(spark, sf):
+        """TPC-H Q8 shape: market share — conditional-sum ratio of one
+        supplier nation inside a region's customer revenue for one part
+        type, by year. Exercises a 6-table join with region pruning on
+        the customer path and a numerator/denominator conditional agg
+        (both rounded before the division, like q14)."""
+        li = _t(spark, sf, "lineitem")
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+        p = (_t(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+             .select("p_partkey"))
+        s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+        c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+        n1 = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+        n2 = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key"))
+        r = (_t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+             .select("r_regionkey"))
+        j = (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+             .join(o, li["l_orderkey"] == o["o_orderkey"])
+             .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+             .join(F.broadcast(n2), c["c_nationkey"] == n2["cn_key"])
+             .join(F.broadcast(r), n2["cr_key"] == r["r_regionkey"])
+             .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+             .join(F.broadcast(n1), s["s_nationkey"] == n1["sn_key"]))
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (j.groupBy(F.year("l_shipdate").alias("o_year"))
+                .agg(F.round(
+                    F.round(F.sum(F.when(F.col("supp_nation") == "NATION_5", rev)
+                                  .otherwise(F.lit(0.0))), 2)
+                    / F.round(F.sum(rev), 2), 6).alias("mkt_share"),
+                     F.count("*").alias("n_lines")))
+
+    def q10_returned_items(spark, sf):
+        """TPC-H Q10 shape: top-20 customers by revenue lost to returns
+        in one quarter — fact filter, two joins, per-customer rollup,
+        bounded TakeOrdered (no global sort materialization)."""
+        li = (_t(spark, sf, "lineitem")
+              .filter(F.col("l_returnflag") == "R")
+              .select("l_orderkey", "l_extendedprice", "l_discount"))
+        o = _t(spark, sf, "orders").filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz")))
+        c = _t(spark, sf, "customer")
+        n = _t(spark, sf, "nation")
+        # price has 2 decimals, discount 2 -> rev has <=4: scale to an
+        # exact integer per line so the sum is order-independent (summing
+        # raw doubles landed one customer on a .xx5 half-cent boundary,
+        # where engine summation order flipped the rounded cent)
+        rev_i = F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+        j = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+             .join(c, o["o_custkey"] == c["c_custkey"])
+             .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]))
+        return (j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+                .agg(F.round(F.sum(rev_i) / 10000.0, 4).alias("revenue"))
+                .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+                .limit(20))
+
+    def q15_top_supplier(spark, sf):
+        """TPC-H Q15 shape: revenue view + scalar-subquery max — the
+        per-supplier quarterly revenue aggregates once, then joins the
+        broadcast 1-row max to keep the argmax suppliers (ties all
+        survive, like the reference view formulation)."""
+        li = _t(spark, sf, "lineitem").filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz")))
+        rev = (li.groupBy("l_suppkey")
+               .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                    .alias("total_revenue")))
+        mx = rev.agg(F.max("total_revenue").alias("_mx"))
+        s = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+        return (rev.join(F.broadcast(mx), rev["total_revenue"] == mx["_mx"])
+                .join(F.broadcast(s), rev["l_suppkey"] == s["s_suppkey"])
+                .select("s_suppkey", "s_name", "total_revenue"))
+
+    def q16_supplier_cnt(spark, sf):
+        """TPC-H Q16 shape (partsupp derived from lineitem's distinct
+        (part, supplier) pairs): count distinct suppliers per part
+        attribute group, excluding one brand and the negative-balance
+        suppliers (the 'complaints' anti-join analog)."""
+        ps = (_t(spark, sf, "lineitem")
+              .select("l_partkey", "l_suppkey").distinct())
+        p = _t(spark, sf, "part").filter(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25))
+        bad = (_t(spark, sf, "supplier")
+               .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+        j = (ps.join(F.broadcast(p), ps["l_partkey"] == p["p_partkey"])
+             .join(F.broadcast(bad), ps["l_suppkey"] == bad["s_suppkey"],
+                   "left_anti"))
+        return (j.groupBy("p_brand", "p_type", "p_size")
+                .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+    def q17_small_qty(spark, sf):
+        """TPC-H Q17 shape: correlated avg subquery decorrelated to an
+        aggregate-then-broadcast-join — per-part avg quantity computed
+        once, joined back, lines below 20% of their part's avg kept.
+        Threshold rounded to 6 decimals on both engines (quantities are
+        integral, so sums/averages are exact in double; the rounding
+        guards the 0.2 multiple)."""
+        li = _t(spark, sf, "lineitem")
+        p = (_t(spark, sf, "part").filter(F.col("p_brand") == "Brand#2")
+             .select("p_partkey"))
+        lp = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        avg_q = (lp.groupBy("l_partkey")
+                 .agg(F.round(F.lit(0.2) * F.avg("l_quantity"), 6).alias("_thr"))
+                 .select(F.col("l_partkey").alias("_pk"), "_thr"))
+        small = lp.join(F.broadcast(avg_q), lp["l_partkey"] == F.col("_pk")).filter(
+            F.col("l_quantity") < F.col("_thr"))
+        return small.agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_lines"))
+
+    def q18_large_orders(spark, sf):
+        """TPC-H Q18 shape: group-by-HAVING membership (orders whose
+        line quantities sum past 300) as a broadcast semi-join of the
+        qualifying keys, then the customer join and bounded top-100."""
+        li = _t(spark, sf, "lineitem")
+        big = (li.groupBy("l_orderkey")
+               .agg(F.sum("l_quantity").alias("sum_qty"))
+               .filter(F.col("sum_qty") > 300))
+        o = _t(spark, sf, "orders")
+        c = _t(spark, sf, "customer").select("c_custkey", "c_name")
+        j = (o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"])
+             .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]))
+        return (j.select(
+                    "c_name", "c_custkey", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+                    F.round("o_totalprice", 2).alias("o_totalprice"),
+                    F.round("sum_qty", 2).alias("sum_qty"))
+                .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+                .limit(100))
+
+    def q19_disjunctive(spark, sf):
+        """TPC-H Q19 shape: OR-of-ANDs over a fact-dim join. The shared
+        `l_partkey = p_partkey` conjunct stays a single equi-join with
+        the three-branch disjunction as a residual filter — Catalyst
+        extracts the common join key instead of falling back to a
+        nested-loop, and pushes the brand/size IN-bounds to the part
+        scan."""
+        li = _t(spark, sf, "lineitem")
+        p = _t(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+        j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        q = F.col("l_quantity")
+        branch = (
+            ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 5)
+             & q.between(1, 11))
+            | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 10)
+               & q.between(10, 20))
+            | ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 15)
+               & q.between(20, 30)))
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return j.filter(branch).agg(
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.count("*").alias("n_lines"))
+
+    def q21_waiting_supplier(spark, sf):
+        """TPC-H Q21 shape: suppliers who were the ONLY late shipper on
+        a finalized multi-supplier order — EXISTS(other supplier on the
+        order) as a left-semi self-join and NOT EXISTS(other LATE
+        supplier) as a left-anti self-join, both with a non-equi
+        supplier-inequality conjunct. 'Late' adapts the reference's
+        receipt-vs-commit lag to ship > order date + 60 days (this
+        corpus has no receipt/commit columns)."""
+        o = (_t(spark, sf, "orders")
+             .filter(F.col("o_orderstatus") == "F")
+             .select("o_orderkey", "o_orderdate"))
+        li = _t(spark, sf, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_shipdate")
+        late = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+                .filter(F.col("l_shipdate")
+                        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+                .select("l_orderkey", "l_suppkey").distinct())
+        others = li.select(F.col("l_orderkey").alias("a_ok"),
+                           F.col("l_suppkey").alias("a_sk")).distinct()
+        l1 = late.join(
+            others,
+            (late["l_orderkey"] == F.col("a_ok"))
+            & (late["l_suppkey"] != F.col("a_sk")), "left_semi")
+        late2 = late.select(F.col("l_orderkey").alias("b_ok"),
+                            F.col("l_suppkey").alias("b_sk"))
+        l1 = l1.join(
+            late2,
+            (l1["l_orderkey"] == F.col("b_ok"))
+            & (l1["l_suppkey"] != F.col("b_sk")), "left_anti")
+        s = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+        return (l1.join(F.broadcast(s), l1["l_suppkey"] == s["s_suppkey"])
+                .groupBy("s_name")
+                .agg(F.count("*").alias("numwait"))
+                .orderBy(F.desc("numwait"), F.asc("s_name"))
+                .limit(100))
+
+    def pipe_kmeans(spark, sf):
+        """Deterministic k-means codebook training (2 Lloyd iterations,
+        k=4, seeded on the 4 smallest vec_ids) — the quantizer-training
+        step sim_ivf_topk's docstring defers to; the oracle replays both
+        iterations in SQL (round-6 centroids between iterations keep the
+        engines bit-aligned)."""
+        from librecrawl_spark.operators.similarity import kmeans_codebook
+
+        e = _t(spark, sf, "embeddings")
+        return kmeans_codebook(e, k=4, iters=2)
+
+    def pipe_tfidf(spark, sf):
+        """Per-document top-3 TF-IDF terms (text.tfidf_top_terms) over
+        the documents corpus — explode + two hash aggregates + bounded
+        per-doc window, the corpus-wide keyword-weighting step."""
+        from librecrawl_spark.operators.text import tfidf_top_terms
+
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        return tfidf_top_terms(d, top_k=3)
+
     return {
         "a1_stats_counts": a1_stats_counts,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1292,6 +1535,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_contamination": pipe_contamination,
         "text_repetition": text_repetition,
         "text_pii": text_pii,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q10_returned_items": q10_returned_items,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_cnt": q16_supplier_cnt,
+        "q17_small_qty": q17_small_qty,
+        "q18_large_orders": q18_large_orders,
+        "q19_disjunctive": q19_disjunctive,
+        "q21_waiting_supplier": q21_waiting_supplier,
+        "pipe_kmeans": pipe_kmeans,
+        "pipe_tfidf": pipe_tfidf,
     }
 
 
@@ -2644,5 +2898,193 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-09-01'
               AND l_shipdate < TIMESTAMP '1996-12-01'
+        """,
+        "q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "q8_market_share": """
+            SELECT CAST(year(l_shipdate) AS INTEGER) AS o_year,
+                   round(
+                     round(sum(CASE WHEN n1.n_name = 'NATION_5'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0.0 END), 2)
+                     / round(sum(l_extendedprice * (1 - l_discount)), 2),
+                   6) AS mkt_share,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region ON n2.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+            GROUP BY o_year
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   round(sum(round(l_extendedprice * (1 - l_discount) * 10000))
+                         / 10000.0, 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "q16_supplier_cnt": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_size IN (1, 5, 9, 13, 17, 21, 25)
+              AND l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "q17_small_qty": """
+            WITH lp AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#2'),
+            thr AS (
+              SELECT l_partkey AS pk, round(0.2 * avg(l_quantity), 6) AS t
+              FROM lp GROUP BY l_partkey)
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+                   count(*) AS n_lines
+            FROM lp JOIN thr ON l_partkey = pk
+            WHERE l_quantity < t
+        """,
+        "q18_large_orders": """
+            SELECT c_name, c_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   round(big.sum_qty, 2) AS sum_qty
+            FROM orders
+            JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING sum(l_quantity) > 300) big
+              ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+        """,
+        "q19_disjunctive": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q21_waiting_supplier": """
+            WITH late AS (
+              SELECT DISTINCT l_orderkey, l_suppkey
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            SELECT s_name, count(*) AS numwait
+            FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM late l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name ASC LIMIT 100
+        """,
+        "pipe_kmeans": """
+            WITH data AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            cent0 AS (
+              SELECT vec_id AS cid, v AS ce FROM data ORDER BY vec_id LIMIT 4),
+            asg1 AS (
+              SELECT vec_id, cid FROM (
+                SELECT d.vec_id, c.cid,
+                       row_number() OVER (
+                         PARTITION BY d.vec_id
+                         ORDER BY round(
+                           list_sum(list_transform(range(1, len(d.v) + 1),
+                                    i -> d.v[i] * c.ce[i]))
+                           / (sqrt(list_sum(list_transform(d.v, x -> x * x)))
+                              * sqrt(list_sum(list_transform(c.ce, x -> x * x)))),
+                         6) DESC, c.cid ASC) AS rn
+                FROM data d, cent0 c) WHERE rn = 1),
+            cent1 AS (
+              SELECT cid, list(m ORDER BY pos) AS ce FROM (
+                SELECT a.cid, pos, round(avg(d.v[pos]), 6) AS m
+                FROM asg1 a JOIN data d USING (vec_id),
+                     range(1, 65) t(pos)
+                GROUP BY a.cid, pos) GROUP BY cid),
+            asg2 AS (
+              SELECT vec_id, cid FROM (
+                SELECT d.vec_id, c.cid,
+                       row_number() OVER (
+                         PARTITION BY d.vec_id
+                         ORDER BY round(
+                           list_sum(list_transform(range(1, len(d.v) + 1),
+                                    i -> d.v[i] * c.ce[i]))
+                           / (sqrt(list_sum(list_transform(d.v, x -> x * x)))
+                              * sqrt(list_sum(list_transform(c.ce, x -> x * x)))),
+                         6) DESC, c.cid ASC) AS rn
+                FROM data d, cent1 c) WHERE rn = 1)
+            SELECT vec_id, cid AS cluster FROM asg2
+        """,
+        "pipe_tfidf": """
+            WITH terms AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+'))
+                       AS term
+              FROM documents),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM terms GROUP BY doc_id, term),
+            dfreq AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+            scored AS (
+              SELECT doc_id, tf.term,
+                     round(tf * ln(nd / df), 6) AS tfidf
+              FROM tf JOIN dfreq ON tf.term = dfreq.term, n)
+            SELECT doc_id, term, tfidf, rn FROM (
+              SELECT doc_id, term, tfidf,
+                     row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term ASC) AS rn
+              FROM scored) WHERE rn <= 3
         """,
     }

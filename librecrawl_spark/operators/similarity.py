@@ -135,13 +135,17 @@ def embedding_near_dups(df: DataFrame, dim: int, threshold: float = 0.95,
     nb = F.expr(
         f"sqrt(aggregate(b.{vec_col}, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))"
     )
+    # admit on the UNROUNDED cosine (same rule as exact_near_dups, so the
+    # LSH path never admits/drops a pair the exact baseline would not at
+    # the rounding boundary); round only the emitted display value
     return (
         pairs.select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(dot / (na * nb), 6).alias("cos_sim"),
+            (dot / (na * nb)).alias("_raw"),
         )
-        .filter(F.col("cos_sim") >= threshold)
+        .filter(F.col("_raw") >= threshold)
+        .select("id_a", "id_b", F.round("_raw", 6).alias("cos_sim"))
     )
 
 def ivf_topk(df: DataFrame, qdf: DataFrame, k: int = 10,
@@ -234,3 +238,65 @@ def exact_near_dups(df: DataFrame, threshold: float = 0.95,
         .filter(F.col("_raw") >= threshold)
         .select("id_a", "id_b", F.round("_raw", 6).alias("cos_sim"))
     )
+
+
+def kmeans_codebook(df: DataFrame, k: int = 8, iters: int = 2,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Deterministic Lloyd's k-means over an embedding column — the
+    codebook-training step ``ivf_topk``'s docstring defers to for the
+    100 TB path (train the coarse quantizer, then swap its centroid
+    DataFrame in).
+
+    Init is the same deterministic seed as ``ivf_topk`` (the ``k``
+    smallest-id vectors), so the whole run is engine-portable: the
+    DuckDB oracle replays every iteration exactly. Each iteration:
+
+    1. assignment — broadcast the ``k`` centroids against the corpus,
+       argmax cosine via a ``min_by`` hash aggregate (scores rounded to
+       6 decimals before the argmax, near-ties break by centroid id);
+    2. update — ``posexplode`` the assigned vectors, per-(cluster, dim)
+       ``avg`` rounded to 6 decimals (so both engines carry identical
+       centroids into the next iteration), reassembled with an ordered
+       ``array_sort(collect_list(struct(pos, m)))``.
+
+    A centroid that attracts no members drops out (standard Lloyd's
+    empty-cluster shrink); iteration count is a fixed small constant so
+    the driver loop only grows the lazy plan, never collects vectors.
+
+    Scale shape per iteration: one broadcast join (k rows) + one
+    groupBy(id) argmax + one posexplode/groupBy(cluster, dim) — all
+    map-side-combinable aggregates; the corpus shuffles only on its own
+    id/(cluster, dim) keys, never pairwise. Returns (``id_col``,
+    ``cluster``) — the final assignment; join it back for members, or
+    rebuild the centroid frame the same way for the quantizer.
+    """
+    data = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    cent = (
+        df.orderBy(id_col).limit(k)
+        .select(F.col(id_col).alias("cid"),
+                F.col(vec_col).cast("array<double>").alias("ce"))
+    )
+    assigned = None
+    for it in range(max(iters, 1)):
+        score = F.round(_dot("_v", "ce") / (_norm("_v") * _norm("ce")), 6)
+        assigned = (
+            data.join(F.broadcast(cent))
+            .select(id_col, "cid", score.alias("_c"))
+            .groupBy(id_col)
+            .agg(F.min_by(
+                "cid", F.struct((-F.col("_c")).alias("n"), "cid")).alias("cid"))
+        )
+        if it < iters - 1:
+            cent = (
+                data.join(assigned, id_col)
+                .select("cid", F.posexplode("_v").alias("pos", "val"))
+                .groupBy("cid", "pos")
+                .agg(F.round(F.avg("val"), 6).alias("m"))
+                .groupBy("cid")
+                .agg(F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))).alias("_pm"))
+                .select("cid", F.col("_pm").getField("m").alias("ce"))
+            )
+    return assigned.select(F.col(id_col), F.col("cid").alias("cluster"))

@@ -8,7 +8,7 @@ and each has a DuckDB-oracle twin in __spark_entry__.oracle_sql().
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Tiny per-language marker lexicons for the n-gram/stopword language-ID
 # heuristic. Deterministic and SQL-portable (the oracle uses the same sets).
@@ -284,4 +284,47 @@ def winnow_dup_candidates(df: DataFrame, text_col: str = "text",
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
+    )
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", top_k: int = 3) -> DataFrame:
+    """Per-document top-k terms by TF-IDF — the keyword-extraction /
+    topic-weighting step of a corpus build (and the classic inverted-
+    index weighting the reference's keyword report approximates with
+    raw counts, seo_extractor keyword density).
+
+    Terms are the corpus-wide ``\\w+`` lowercase tokens (shared with
+    token_count / repetition_metrics so every text operator agrees on
+    the word definition). tf = in-document term count; idf =
+    ln(N / df) with N = total corpus documents and df = documents
+    containing the term; score = round(tf * idf, 6) so cross-engine
+    ranking is stable, ties broken by term ascending.
+
+    Scale shape: one explode + two hash aggregates — per-(doc, term)
+    counts partial-aggregate map-side, the document-frequency table
+    aggregates on the term key, and the top-k filter is a bounded
+    per-doc window over at most the doc's distinct terms (never a
+    global sort). N comes from a 1-row aggregate broadcast by AQE, not
+    a driver collect.
+    """
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '\\\\w+', 0)")
+    terms = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").cast("double").alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            F.col(id_col), F.col("term"),
+            F.round(F.col("tf") * F.log(F.col("_n") / F.col("df")), 6)
+            .alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select(id_col, "term", "tfidf", "rn")
     )

@@ -236,3 +236,92 @@ class TestClusterRepresentatives:
             assert got[c]["rep_doc_id"] == best
             assert got[c]["rep_quality"] == q_map[best]
             assert got[c]["cluster_size"] == len(members)
+
+
+class TestKmeansCodebook:
+    @staticmethod
+    def _py_kmeans(rows, k, iters):
+        """Independent numpy-free Lloyd's transcription: seed = k
+        smallest ids, round-6 scores with min-cid tie-break, round-6
+        centroid means, empty clusters drop."""
+        data = {r["vec_id"]: [float(v) for v in r["embedding"]] for r in rows}
+
+        def cos(a, b):
+            dot = sum(x * y for x, y in zip(a, b))
+            na = sum(x * x for x in a) ** 0.5
+            nb = sum(x * x for x in b) ** 0.5
+            return round(dot / (na * nb), 6)
+
+        cent = {i: data[i] for i in sorted(data)[:k]}
+        asg = {}
+        for it in range(iters):
+            asg = {
+                vid: max(cent, key=lambda c: (cos(v, cent[c]), -c))
+                for vid, v in data.items()
+            }
+            if it < iters - 1:
+                new = {}
+                for c in set(asg.values()):
+                    members = [data[v] for v in data if asg[v] == c]
+                    new[c] = [
+                        round(sum(m[d] for m in members) / len(members), 6)
+                        for d in range(len(members[0]))
+                    ]
+                cent = new
+        return asg
+
+    def test_matches_python_transcription(self, spark):
+        from librecrawl_spark.operators.similarity import kmeans_codebook
+
+        emb = spark.read.parquet(f"{TD}/embeddings.parquet")
+        got = {
+            r["vec_id"]: r["cluster"]
+            for r in kmeans_codebook(emb, k=4, iters=2).collect()
+        }
+        want = self._py_kmeans(emb.collect(), k=4, iters=2)
+        assert got == want and len(set(got.values())) > 1
+
+    def test_single_iteration_equals_ivf_assignment_seed(self, spark):
+        """iters=1 is exactly the ivf_topk deterministic-quantizer
+        assignment (no update step)."""
+        from librecrawl_spark.operators.similarity import kmeans_codebook
+
+        emb = spark.read.parquet(f"{TD}/embeddings.parquet")
+        got = {
+            r["vec_id"]: r["cluster"]
+            for r in kmeans_codebook(emb, k=4, iters=1).collect()
+        }
+        want = self._py_kmeans(emb.collect(), k=4, iters=1)
+        assert got == want
+
+
+class TestTfidfTopTerms:
+    def test_matches_python_transcription(self, spark):
+        import math
+        import re
+
+        from librecrawl_spark.operators.text import tfidf_top_terms
+
+        docs = spark.read.parquet(f"{TD}/documents.parquet").select(
+            "doc_id", "text").limit(50)
+        rows = docs.collect()
+        n = float(len(rows))
+        tf, dfreq = {}, {}
+        for r in rows:
+            counts = {}
+            for t in re.findall(r"\w+", (r["text"] or "").lower()):
+                counts[t] = counts.get(t, 0) + 1
+            tf[r["doc_id"]] = counts
+            for t in counts:
+                dfreq[t] = dfreq.get(t, 0) + 1
+        want = {}
+        for did, counts in tf.items():
+            scored = sorted(
+                ((round(c * math.log(n / dfreq[t]), 6), t) for t, c in counts.items()),
+                key=lambda x: (-x[0], x[1]))
+            want[did] = [(t, s) for s, t in scored[:3]]
+        got = {}
+        for r in tfidf_top_terms(docs, top_k=3).collect():
+            got.setdefault(r["doc_id"], []).append((r["rn"], r["term"], r["tfidf"]))
+        got = {d: [(t, s) for _, t, s in sorted(v)] for d, v in got.items()}
+        assert got == want and len(want) == 50
