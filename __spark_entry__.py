@@ -1450,6 +1450,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy(F.desc("numwait"), F.asc("s_name"))
                 .limit(100))
 
+    def graph_pagerank(spark, sf):
+        """PageRank (operators/graph.py) over a deterministic synthetic
+        link graph derived from doc_ids (2-3 out-links per doc via
+        affine maps mod N; every 17th doc is a dangling sink). 3 power
+        iterations, damping 0.85, round-8 per round — the oracle
+        replays the identical unrolled iterations in SQL."""
+        from librecrawl_spark.operators.graph import pagerank
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        n = d.count()
+        i = F.col("doc_id")
+        e1 = d.select(i.alias("src"), ((i * 7 + 1) % n).alias("dst"))
+        e2 = d.select(i.alias("src"), ((i * 13 + 3) % n).alias("dst"))
+        e3 = (d.filter(i % 5 != 0)
+              .select(i.alias("src"), ((i * 3 + 11) % n).alias("dst")))
+        edges = (e1.unionByName(e2).unionByName(e3)
+                 .filter(F.col("src") % 17 != 0))
+        return pagerank(edges, iters=3)
+
     def pipe_kmeans(spark, sf):
         """Deterministic k-means codebook training (2 Lloyd iterations,
         k=4, seeded on the 4 smallest vec_ids) — the quantizer-training
@@ -1546,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_supplier": q21_waiting_supplier,
         "pipe_kmeans": pipe_kmeans,
         "pipe_tfidf": pipe_tfidf,
+        "graph_pagerank": graph_pagerank,
     }
 
 
@@ -3027,6 +3047,51 @@ def oracle_sql() -> dict[str, str]:
                                 AND l3.l_suppkey <> l1.l_suppkey)
             GROUP BY s_name
             ORDER BY numwait DESC, s_name ASC LIMIT 100
+        """,
+        "graph_pagerank": """
+            WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS nn,
+                              count(*) AS ni FROM documents),
+            e AS (
+              SELECT doc_id AS s, (doc_id * 7 + 1) % ni AS d
+              FROM documents, n WHERE doc_id % 17 <> 0
+              UNION ALL
+              SELECT doc_id, (doc_id * 13 + 3) % ni
+              FROM documents, n WHERE doc_id % 17 <> 0
+              UNION ALL
+              SELECT doc_id, (doc_id * 3 + 11) % ni
+              FROM documents, n WHERE doc_id % 17 <> 0 AND doc_id % 5 <> 0),
+            nodes AS (SELECT DISTINCT node FROM (
+              SELECT s AS node FROM e UNION ALL SELECT d FROM e)),
+            deg AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+            r0 AS (SELECT node, round(1.0 / nn, 8) AS pr FROM nodes, n),
+            d0 AS (SELECT coalesce(sum(pr), 0) AS dm
+                   FROM r0 LEFT JOIN deg ON node = s WHERE deg IS NULL),
+            c0 AS (SELECT e.d AS node, sum(r0.pr / deg.deg) AS cin
+                   FROM e JOIN r0 ON e.s = r0.node JOIN deg ON e.s = deg.s
+                   GROUP BY e.d),
+            r1 AS (SELECT nodes.node,
+                          round((1 - 0.85) / nn
+                                + 0.85 * (coalesce(cin, 0) + dm / nn), 8) AS pr
+                   FROM nodes LEFT JOIN c0 USING (node), d0, n),
+            d1 AS (SELECT coalesce(sum(pr), 0) AS dm
+                   FROM r1 LEFT JOIN deg ON node = s WHERE deg IS NULL),
+            c1 AS (SELECT e.d AS node, sum(r1.pr / deg.deg) AS cin
+                   FROM e JOIN r1 ON e.s = r1.node JOIN deg ON e.s = deg.s
+                   GROUP BY e.d),
+            r2 AS (SELECT nodes.node,
+                          round((1 - 0.85) / nn
+                                + 0.85 * (coalesce(cin, 0) + dm / nn), 8) AS pr
+                   FROM nodes LEFT JOIN c1 USING (node), d1, n),
+            d2 AS (SELECT coalesce(sum(pr), 0) AS dm
+                   FROM r2 LEFT JOIN deg ON node = s WHERE deg IS NULL),
+            c2 AS (SELECT e.d AS node, sum(r2.pr / deg.deg) AS cin
+                   FROM e JOIN r2 ON e.s = r2.node JOIN deg ON e.s = deg.s
+                   GROUP BY e.d),
+            r3 AS (SELECT nodes.node,
+                          round((1 - 0.85) / nn
+                                + 0.85 * (coalesce(cin, 0) + dm / nn), 8) AS pr
+                   FROM nodes LEFT JOIN c2 USING (node), d2, n)
+            SELECT node, pr FROM r3
         """,
         "pipe_kmeans": """
             WITH data AS (

@@ -1,0 +1,102 @@
+"""Link-graph analytics: PageRank over the crawl's internal link graph.
+
+The reference exposes the link graph (link_manager.py builds
+source/target edges; main.py's visualization endpoint serves it) but
+computes no authority metric over it — at 100 TB the first thing a
+crawl corpus feeds is exactly this: a link-authority score per URL for
+crawl prioritization and quality weighting (the production analogue of
+the reference's per-page internal-link counts, issue_detector.py's
+Links family).
+
+Implementation is the classic distributed power iteration expressed as
+DataFrame joins — no GraphX/RDD, no driver-side adjacency: ranks live
+in a (node, pr) frame, each round joins edges to ranks, groupBy(dst)
+partial-aggregates the contributions (map-side combine), and dangling
+mass redistributes via a 1-row broadcast aggregate. Iteration count is
+a fixed small constant with per-round round-8 so every engine replays
+the identical fixpoint prefix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             iters: int = 3, damping: float = 0.85,
+             round_to: int = 8) -> DataFrame:
+    """Power-iteration PageRank over ``edges``; returns (node, pr).
+
+    Node set = every id appearing as src or dst. Per round::
+
+        pr'(v) = (1 - d)/N + d * (sum_{u->v} pr(u)/outdeg(u)
+                                  + dangling_mass/N)
+
+    with dangling mass from sink nodes (no out-edges) spread uniformly
+    — the standard stochastic-matrix completion, so total rank stays 1.
+    Ranks are rounded to ``round_to`` decimals each round: the per-node
+    contribution sum is order-dependent in floating point, and rounding
+    at every round keeps a DuckDB replay of the same unrolled
+    iterations hash-identical (same trick as kmeans_codebook's round-6
+    centroids).
+
+    Scale shape per round: one hash join of edges to the rank frame on
+    src + one groupBy(dst) with partial aggregation, plus two 1-row
+    broadcast aggregates (dangling mass, N). Parallel edges are kept
+    (a page linking twice contributes twice, matching the raw links
+    table); pre-``distinct()`` the edges for simple-graph semantics.
+    The rank frame is O(V) and lineage is truncated per round via
+    localCheckpoint so the plan stays O(1)-deep at any iteration count
+    (same rationale as dedup.connected_components).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        nodes.unpersist()
+        return e.select(F.col("s").alias("node"),
+                        F.lit(0.0).alias("pr")).limit(0)
+    # derived from e, so rename the key: keeps every downstream join
+    # unambiguous (outdeg and e share lineage)
+    outdeg = (e.groupBy("s").agg(F.count("*").alias("deg"))
+              .select(F.col("s").alias("_on"), "deg"))
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0 / n_nodes), round_to).alias("pr"))
+    base = (1.0 - damping) / n_nodes
+    for _ in range(iters):
+        with_deg = ranks.join(outdeg, ranks["node"] == F.col("_on"), "left")
+        # dangling mass: rank held by sink nodes this round (1-row agg)
+        dangling = with_deg.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm"))
+        contrib = (
+            e.join(with_deg.filter(F.col("deg").isNotNull())
+                   .select(F.col("node").alias("_wn"), "pr", "deg"),
+                   e["s"] == F.col("_wn"))
+            .select(F.col("d").alias("node"),
+                    (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .join(F.broadcast(dangling))
+            .select(
+                "node",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("_in"), F.lit(0.0))
+                       + F.col("_dm") / F.lit(float(n_nodes))),
+                    round_to,
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = ranks
+    nodes.unpersist()
+    return out
