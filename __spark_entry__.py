@@ -1450,6 +1450,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy(F.desc("numwait"), F.asc("s_name"))
                 .limit(100))
 
+    def inc_snapshot_diff(spark, sf):
+        """Recrawl delta classification (streaming/incremental.py:
+        snapshot_diff): two crawl snapshots synthesized from documents
+        (old = doc_id % 10 != 0, new = doc_id % 7 != 0, content hash
+        perturbed for doc_id % 5 == 0) -> added/removed/changed/
+        unchanged per URL via a single full-outer key join."""
+        from librecrawl_spark.streaming.incremental import snapshot_diff
+
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        url = F.concat(F.lit("https://inc.example/doc/"),
+                       F.col("doc_id").cast("string"))
+        old = (d.filter(F.col("doc_id") % 10 != 0)
+               .select(url.alias("url"), F.md5("text").alias("content_hash")))
+        new = (d.filter(F.col("doc_id") % 7 != 0)
+               .select(url.alias("url"),
+                       F.when(F.col("doc_id") % 5 == 0,
+                              F.md5(F.concat(F.col("text"), F.lit("v2"))))
+                       .otherwise(F.md5("text")).alias("content_hash")))
+        return snapshot_diff(old, new)
+
+    def pipe_domain_mix(spark, sf):
+        """Corpus mix planning (pipeline.domain_mix_rates): per-language
+        token totals, shares, and the keep-rate that downsampling needs
+        to hit a target mix — the step that produces
+        stratified_sample's rates."""
+        from librecrawl_spark.operators.pipeline import domain_mix_rates
+
+        d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+        toks = F.floor(F.col("n_chars") / 5).cast("long")
+        return domain_mix_rates(
+            d.select("lang", toks.alias("n_tokens")),
+            targets={"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.2},
+        )
+
     def graph_pagerank(spark, sf):
         """PageRank (operators/graph.py) over a deterministic synthetic
         link graph derived from doc_ids (2-3 out-links per doc via
@@ -1566,6 +1600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_kmeans": pipe_kmeans,
         "pipe_tfidf": pipe_tfidf,
         "graph_pagerank": graph_pagerank,
+        "inc_snapshot_diff": inc_snapshot_diff,
+        "pipe_domain_mix": pipe_domain_mix,
     }
 
 
@@ -3047,6 +3083,42 @@ def oracle_sql() -> dict[str, str]:
                                 AND l3.l_suppkey <> l1.l_suppkey)
             GROUP BY s_name
             ORDER BY numwait DESC, s_name ASC LIMIT 100
+        """,
+        "inc_snapshot_diff": """
+            WITH old AS (
+              SELECT 'https://inc.example/doc/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                     md5(text) AS h
+              FROM documents WHERE doc_id % 10 <> 0),
+            new AS (
+              SELECT 'https://inc.example/doc/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                     CASE WHEN doc_id % 5 = 0 THEN md5(text || 'v2')
+                          ELSE md5(text) END AS h
+              FROM documents WHERE doc_id % 7 <> 0)
+            SELECT coalesce(old.url, new.url) AS url,
+                   CASE WHEN old.url IS NULL THEN 'added'
+                        WHEN new.url IS NULL THEN 'removed'
+                        WHEN old.h IS NOT DISTINCT FROM new.h
+                          THEN 'unchanged'
+                        ELSE 'changed' END AS change
+            FROM old FULL OUTER JOIN new ON old.url = new.url
+        """,
+        "pipe_domain_mix": """
+            WITH per AS (
+              SELECT lang AS stratum, count(*) AS n_docs,
+                     CAST(sum(CAST(floor(n_chars / 5) AS BIGINT)) AS BIGINT)
+                       AS weight
+              FROM documents GROUP BY lang),
+            tot AS (SELECT CAST(sum(weight) AS DOUBLE) AS tw FROM per)
+            SELECT stratum, n_docs, weight,
+                   round(weight / tw, 6) AS share,
+                   round(least(1.0,
+                     (CASE stratum WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2
+                                   WHEN 'fr' THEN 0.2 WHEN 'es' THEN 0.2
+                                   ELSE 0.0 END) / (weight / tw)),
+                   6) AS keep_rate
+            FROM per, tot
         """,
         "graph_pagerank": """
             WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS nn,

@@ -233,3 +233,44 @@ def cluster_representatives(
             "cluster_size",
         )
     )
+
+
+def domain_mix_rates(
+    df: DataFrame,
+    targets: dict[str, float],
+    stratum_col: str = "lang",
+    weight_col: str = "n_tokens",
+) -> DataFrame:
+    """Corpus mix planning: per-stratum weight totals/shares plus the
+    per-stratum keep-rate that downsampling must apply to hit a target
+    mix — the step that PRODUCES ``stratified_sample``'s rates dict.
+
+    rate(s) = min(1, target_share(s) / actual_share(s)): strata over
+    their target are cut proportionally, strata at/under target keep
+    everything (rates never upsample — matching what a filter can do).
+    Shares and rates round to 6 decimals so the DuckDB twin hashes
+    identically. Strata absent from ``targets`` get target 0 (rate 0 —
+    excluded from the mix).
+
+    Scale shape: one groupBy(stratum) with map-side partial sums over
+    the scan plus a 1-row broadcast total — no window, no second pass
+    over the corpus.
+    """
+    per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col(weight_col)).cast("long").alias("weight"),
+    )
+    tot = per.agg(F.sum("weight").cast("double").alias("_tw"))
+    tgt: Column = F.lit(0.0)
+    for stratum, share in sorted(targets.items()):
+        tgt = F.when(F.col("stratum") == stratum,
+                     F.lit(float(share))).otherwise(tgt)
+    share = F.col("weight") / F.col("_tw")
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "stratum", "n_docs", "weight",
+            F.round(share, 6).alias("share"),
+            F.round(F.least(F.lit(1.0), tgt / share), 6).alias("keep_rate"),
+        )
+    )

@@ -85,3 +85,45 @@ def wave_progress(lineage_rows: list[dict]) -> dict:
         "waves": len(lineage_rows),
         "urls_per_sec": round(crawled / wall_s, 2) if wall_s else 0.0,
     }
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str = "url",
+                  content_cols: tuple[str, ...] = ("content_hash",)
+                  ) -> DataFrame:
+    """Recrawl delta classification: full-outer join two crawl
+    snapshots on ``key_col`` and label every key ``added`` (new only),
+    ``removed`` (old only), ``changed`` (both, any ``content_cols``
+    differ) or ``unchanged`` — the incremental-recrawl planning step (a
+    scheduler recrawls ``changed``+``added`` first, prunes ``removed``
+    from the frontier; the reference's resume reloads everything,
+    crawl_db.py, because a single-site crawler can afford to).
+
+    NULL-safe comparison via eqNullSafe so a field going NULL <-> value
+    counts as changed, matching intuition and the SQL twin's
+    IS DISTINCT FROM.
+
+    Scale shape: one full-outer hash join on the key — both sides
+    shuffle once on ``key_col``; at 10^10 URLs both snapshots are
+    bucketed Iceberg-style tables on the same key and the join is
+    co-located with no exchange at all.
+    """
+    o = old.select(
+        F.col(key_col).alias("_k"),
+        *[F.col(c).alias(f"_o_{c}") for c in content_cols])
+    n = new.select(
+        F.col(key_col).alias("_nk"),
+        *[F.col(c).alias(f"_n_{c}") for c in content_cols])
+    j = o.join(n, o["_k"] == n["_nk"], "full_outer")
+    same = F.lit(True)
+    for c in content_cols:
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    cls = (
+        F.when(F.col("_k").isNull(), F.lit("added"))
+        .when(F.col("_nk").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        F.coalesce(F.col("_k"), F.col("_nk")).alias(key_col),
+        cls.alias("change"),
+    )

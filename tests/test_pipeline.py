@@ -325,3 +325,66 @@ class TestTfidfTopTerms:
             got.setdefault(r["doc_id"], []).append((r["rn"], r["term"], r["tfidf"]))
         got = {d: [(t, s) for _, t, s in sorted(v)] for d, v in got.items()}
         assert got == want and len(want) == 50
+
+
+class TestSnapshotDiff:
+    def test_all_four_classes(self, spark):
+        from librecrawl_spark.streaming.incremental import snapshot_diff
+
+        old = spark.createDataFrame(
+            [("a", "h1"), ("b", "h2"), ("c", "h3"), ("n", None)],
+            schema="url string, content_hash string")
+        new = spark.createDataFrame(
+            [("a", "h1"), ("b", "CHANGED"), ("d", "h4"), ("n", "now-set")],
+            schema="url string, content_hash string")
+        got = {r["url"]: r["change"]
+               for r in snapshot_diff(old, new).collect()}
+        assert got == {
+            "a": "unchanged", "b": "changed", "c": "removed",
+            "d": "added",
+            # NULL -> value is a change (eqNullSafe, not SQL-NULL equal)
+            "n": "changed",
+        }
+
+    def test_multi_column_content(self, spark):
+        from librecrawl_spark.streaming.incremental import snapshot_diff
+
+        old = spark.createDataFrame(
+            [("a", "h", 200), ("b", "h", 200)],
+            schema="url string, content_hash string, status int")
+        new = spark.createDataFrame(
+            [("a", "h", 404), ("b", "h", 200)],
+            schema="url string, content_hash string, status int")
+        got = {r["url"]: r["change"] for r in snapshot_diff(
+            old, new, content_cols=("content_hash", "status")).collect()}
+        assert got == {"a": "changed", "b": "unchanged"}
+
+
+class TestDomainMixRates:
+    def test_rates_hit_targets_and_cap_at_one(self, spark):
+        from librecrawl_spark.operators.pipeline import domain_mix_rates
+
+        rows = ([("en", 100)] * 8) + ([("de", 100)] * 1) + ([("zh", 100)] * 1)
+        df = spark.createDataFrame(rows, schema="lang string, n_tokens long")
+        out = {r["stratum"]: r for r in domain_mix_rates(
+            df, targets={"en": 0.5, "de": 0.5}).collect()}
+        # en is 80% of weight, target 50% -> keep 0.625 of it
+        assert out["en"]["keep_rate"] == pytest.approx(0.625)
+        # de is 10%, target 50% -> cannot upsample, rate caps at 1
+        assert out["de"]["keep_rate"] == 1.0
+        # zh absent from targets -> excluded
+        assert out["zh"]["keep_rate"] == 0.0
+        assert out["en"]["share"] == pytest.approx(0.8)
+
+    def test_feeds_stratified_sample(self, spark, docs):
+        """The computed keep_rates plug straight into stratified_sample's
+        rates dict (the operators compose)."""
+        from librecrawl_spark.operators.pipeline import (
+            domain_mix_rates, stratified_sample)
+
+        weighted = docs.select(
+            "doc_id", "lang", F.col("n_chars").cast("long").alias("n_tokens"))
+        rates = {r["stratum"]: r["keep_rate"] for r in domain_mix_rates(
+            weighted, targets={"en": 0.5, "de": 0.5}).collect()}
+        kept = stratified_sample(docs, rates, default_rate=0.0).count()
+        assert 0 < kept < docs.count()
