@@ -1205,6 +1205,129 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count("*").alias("numcust"),
                      F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
 
+    def q2_min_cost_supp(spark, sf):
+        """TPC-H Q2 shape: correlated min — for each STANDARD size-5
+        part, the supplier(s) whose best observed line price equals the
+        part's global minimum. No partsupp table in this dataset, so
+        supply cost is derived as min(l_extendedprice) per
+        (part, supplier) from lineitem; the correlated subquery is
+        decorrelated to a groupBy-min + equi-join-back (scale-safe: two
+        hash aggs + one join, no window over the whole fact). Costs are
+        rounded to 2 decimals before the equality so float min order
+        cannot flip membership. Top-100 by acctbal with full-key
+        tiebreak for a deterministic limit."""
+        p = (_t(spark, sf, "part")
+             .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") == 5))
+             .select("p_partkey"))
+        li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey",
+                                              "l_extendedprice")
+        cost = (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+                .groupBy("p_partkey", "l_suppkey")
+                .agg(F.round(F.min("l_extendedprice"), 2).alias("cost")))
+        best = (cost.groupBy(F.col("p_partkey").alias("bp"))
+                .agg(F.min("cost").alias("best_cost")))
+        s = _t(spark, sf, "supplier")
+        n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+        return (cost.join(F.broadcast(best),
+                          (cost["p_partkey"] == best["bp"])
+                          & (cost["cost"] == best["best_cost"]))
+                .join(F.broadcast(s), cost["l_suppkey"] == s["s_suppkey"])
+                .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+                .select("s_acctbal", "s_name", "n_name", "p_partkey", "cost")
+                .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+                .limit(100))
+
+    def q9_product_profit(spark, sf):
+        """TPC-H Q9 shape: product-type profit by (supplier nation,
+        year). No ps_supplycost here, so profit is the discounted
+        revenue over parts whose name contains 'gear'. Exercises the
+        fact→dim star join with two broadcast dims and a two-key
+        grouping; per-line amounts rounded to 2 before the sum so the
+        cross-engine totals match bit-for-bit."""
+        li = _t(spark, sf, "lineitem")
+        p = (_t(spark, sf, "part").filter(F.col("p_name").contains("gear"))
+             .select("p_partkey"))
+        s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+        n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+        # exact integer arithmetic: price cents x (100 - discount
+        # percent-points) — per-line double rounding lands on half-cent
+        # boundaries where Spark (BigDecimal half-up) and DuckDB (libm)
+        # disagree; integers never do. Final value has <=4 decimals so
+        # round(x, 4) of the shared double is unambiguous.
+        amt = (F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+               * (100 - F.round(F.col("l_discount") * 100, 0).cast("long")))
+        return (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+                .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+                .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+                .groupBy(F.col("n_name").alias("supp_nation"),
+                         F.year("l_shipdate").alias("o_year"))
+                .agg(F.round(F.sum(amt) / 10000.0, 4).alias("sum_profit"),
+                     F.count("*").alias("n_lines")))
+
+    def q11_important_stock(spark, sf):
+        """TPC-H Q11 shape: groups above a global-fraction threshold —
+        per-part value of lineitem shipped by NATION_3 suppliers, HAVING
+        value > 0.001 * the total over the same filtered set. The scalar
+        total is a 1-row agg broadcast via crossJoin (decorrelated
+        scalar subquery); both sides rounded to 2 decimals so summation
+        order cannot flip membership at the threshold."""
+        li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey",
+                                              "l_extendedprice")
+        s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+        n = (_t(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
+             .select("n_nationkey"))
+        filt = (li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+                .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+                .select("l_partkey",
+                        F.round(F.col("l_extendedprice"), 2).alias("_v")))
+        per_part = (filt.groupBy("l_partkey")
+                    .agg(F.round(F.sum("_v"), 2).alias("part_value")))
+        total = filt.agg(F.round(F.sum("_v") * 0.001, 2).alias("_thr"))
+        return (per_part.crossJoin(F.broadcast(total))
+                .filter(F.col("part_value") > F.col("_thr"))
+                .select("l_partkey", "part_value"))
+
+    def q12_priority_shipping(spark, sf):
+        """TPC-H Q12 shape: conditional counts per category — high-
+        priority (1-URGENT / 2-HIGH) vs low-priority line counts per
+        l_returnflag for 1997 shipments (no l_shipmode column in this
+        dataset; returnflag is the categorical stand-in). One join, one
+        hash agg with two conditional sums — map-side combinable."""
+        li = (_t(spark, sf, "lineitem")
+              .filter(F.year("l_shipdate") == 1997)
+              .select("l_orderkey", "l_returnflag"))
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+        hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+                .groupBy("l_returnflag")
+                .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+                     F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count")))
+
+    def q20_excess_suppliers(spark, sf):
+        """TPC-H Q20 shape: nested agg subquery feeding a semi-join —
+        suppliers in NATION_7 who shipped more than 100 total units of
+        'small *' parts during 1997. The inner agg (qty per supplier
+        over the part semi-join) decorrelates to groupBy + filter; the
+        outer EXISTS becomes a LEFT SEMI join. Quantity sums are exact
+        integers-in-doubles, no rounding hazard."""
+        p = (_t(spark, sf, "part")
+             .filter(F.col("p_name").startswith("small"))
+             .select("p_partkey"))
+        li = (_t(spark, sf, "lineitem")
+              .filter(F.year("l_shipdate") == 1997)
+              .select("l_partkey", "l_suppkey", "l_quantity"))
+        heavy = (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+                 .groupBy("l_suppkey")
+                 .agg(F.sum("l_quantity").alias("_qty"))
+                 .filter(F.col("_qty") > 100)
+                 .select("l_suppkey"))
+        s = _t(spark, sf, "supplier")
+        n = (_t(spark, sf, "nation").filter(F.col("n_name") == "NATION_7")
+             .select("n_nationkey"))
+        return (s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+                .join(heavy, s["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+                .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal")))
+
     def q14_promo_share(spark, sf):
         """TPC-H Q14 shape: conditional aggregation (sum of CASE) over a
         fact-dim join, emitting a ratio. Numerator and denominator are
@@ -1581,6 +1704,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_late_orders": q4_late_orders,
         "q13_custdist": q13_custdist,
         "q22_idle_rich": q22_idle_rich,
+        "q2_min_cost_supp": q2_min_cost_supp,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_stock": q11_important_stock,
+        "q12_priority_shipping": q12_priority_shipping,
+        "q20_excess_suppliers": q20_excess_suppliers,
         "q14_promo_share": q14_promo_share,
         "pipe_stratified_sample": pipe_stratified_sample,
         "pipe_chunk_packing": pipe_chunk_packing,
@@ -2942,6 +3070,79 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderpriority = '1-URGENT')
             GROUP BY c_mktsegment
+        """,
+        "q2_min_cost_supp": """
+            WITH cost AS (
+              SELECT p_partkey, l_suppkey,
+                     round(min(l_extendedprice), 2) AS cost
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              WHERE p_type = 'STANDARD' AND p_size = 5
+              GROUP BY p_partkey, l_suppkey
+            ), best AS (
+              SELECT p_partkey AS bp, min(cost) AS best_cost
+              FROM cost GROUP BY p_partkey
+            )
+            SELECT s_acctbal, s_name, n_name, p_partkey, cost
+            FROM cost
+            JOIN best ON p_partkey = bp AND cost = best_cost
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100
+        """,
+        "q9_product_profit": """
+            SELECT n_name AS supp_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS o_year,
+                   round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                     / 10000.0, 4) AS sum_profit,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%gear%'
+            GROUP BY supp_nation, o_year
+        """,
+        "q11_important_stock": """
+            WITH filt AS (
+              SELECT l_partkey, round(l_extendedprice, 2) AS _v
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_3'
+            )
+            SELECT l_partkey, round(sum(_v), 2) AS part_value
+            FROM filt
+            GROUP BY l_partkey
+            HAVING round(sum(_v), 2) >
+                   (SELECT round(sum(_v) * 0.001, 2) FROM filt)
+        """,
+        "q12_priority_shipping": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE year(l_shipdate) = 1997
+            GROUP BY l_returnflag
+        """,
+        "q20_excess_suppliers": """
+            SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_7'
+              AND s_suppkey IN (
+                SELECT l_suppkey
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE 'small%'
+                  AND year(l_shipdate) = 1997
+                GROUP BY l_suppkey
+                HAVING sum(l_quantity) > 100)
         """,
         "q14_promo_share": """
             SELECT round(
