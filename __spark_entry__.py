@@ -1154,6 +1154,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def t_asof_join(spark, sf):
+        """As-of join (operators/temporal.py:asof_join): each purchase
+        event matched to the user's latest view at-or-before it. Spark
+        has no ASOF built-in; the operator is union-tag + one key
+        exchange + running last-non-null — sort-merge-join shape, O(1)
+        per-key state, no per-row Python. DuckDB's native ASOF JOIN is
+        the oracle. Right side pre-deduped to max event_id per
+        (user, ts) so ties are deterministic in both engines; gap is an
+        exact integer microsecond difference (no float hazard)."""
+        from librecrawl_spark.operators.temporal import asof_join
+        e = _t(spark, sf, "events")
+        purchases = (e.filter(F.col("event_type") == "purchase")
+                     .select(F.col("event_id").alias("purchase_id"),
+                             "user_id", "ts"))
+        views = (e.filter(F.col("event_type") == "view")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("event_id").alias("view_id")))
+        out = asof_join(purchases, views, on="user_id", ts_col="ts",
+                        payload_cols=["view_id"])
+        return (out.filter(F.col("view_id").isNotNull())
+                .select("purchase_id", "user_id", "view_id",
+                        F.col("asof_gap_us").alias("gap_us")))
+
+    def t_range_join(spark, sf):
+        """Bucketed range join (operators/temporal.py:range_join_by_bucket):
+        every event of the same user inside the 600s half-open window
+        after each error event. Intervals explode into the <=2 time
+        buckets they overlap; points live in exactly one bucket, so the
+        equi-join on (user, bucket) + residual range filter yields each
+        qualifying pair exactly once — no BroadcastNestedLoopJoin, no
+        dedup. Oracle is the plain inequality join."""
+        from librecrawl_spark.operators.temporal import range_join_by_bucket
+        e = _t(spark, sf, "events")
+        windows = (e.filter(F.col("event_type") == "error")
+                   .select(F.col("event_id").alias("error_id"), "user_id",
+                           F.col("ts").alias("start_ts"),
+                           (F.col("ts") + F.expr("INTERVAL 600 SECONDS"))
+                           .alias("end_ts")))
+        points = e.select("event_id", "user_id", "ts", "event_type")
+        out = range_join_by_bucket(points, windows, on="user_id",
+                                   point_ts="ts", start_col="start_ts",
+                                   end_col="end_ts", bucket_us=600_000_000)
+        return (out.filter(F.col("event_id") != F.col("error_id"))
+                .select("error_id", "event_id", "event_type"))
+
     def q4_late_orders(spark, sf):
         """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join with a
         non-equi conjunct (a lineitem shipped >60 days after the order
@@ -1700,6 +1745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "w2_homepage": w2_homepage,
         "events_hopping_window": events_hopping_window,
+        "t_asof_join": t_asof_join,
+        "t_range_join": t_range_join,
         "dedup_clusters": dedup_clusters,
         "q4_late_orders": q4_late_orders,
         "q13_custdist": q13_custdist,
@@ -3042,6 +3089,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(ws AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S') AS win_start,
                    event_type, count(*) AS n, round(sum(value), 4) AS sum_value
             FROM hop GROUP BY win_start, event_type
+        """,
+        "t_asof_join": """
+            WITH l AS (SELECT event_id AS purchase_id, user_id, ts
+                       FROM events WHERE event_type = 'purchase'),
+                 r AS (SELECT user_id, ts, max(event_id) AS view_id
+                       FROM events WHERE event_type = 'view'
+                       GROUP BY user_id, ts)
+            SELECT l.purchase_id, l.user_id, r.view_id,
+                   epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+            FROM l ASOF JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "t_range_join": """
+            WITH w AS (SELECT event_id AS error_id, user_id,
+                              ts AS start_ts,
+                              ts + INTERVAL 600 SECOND AS end_ts
+                       FROM events WHERE event_type = 'error')
+            SELECT w.error_id, e.event_id, e.event_type
+            FROM w JOIN events e
+              ON e.user_id = w.user_id
+             AND e.ts >= w.start_ts AND e.ts < w.end_ts
+             AND e.event_id <> w.error_id
         """,
         "q4_late_orders": """
             SELECT o_orderpriority, count(*) AS order_count

@@ -51,6 +51,10 @@ AUDITED = [
     "graph_pagerank",         # iterative edge join + partial agg rounds
     "pipe_kmeans",            # broadcast-centroid argmax + posexplode agg
     "pipe_tfidf",             # explode + two hash aggs + per-doc window
+    "t_asof_join",            # union-tag + one exchange + running last
+    "t_range_join",           # bucketized interval equi-join, no NLJ
+    "q2_min_cost_supp",       # decorrelated min + join-back
+    "q9_product_profit",      # star join, integer-exact money agg
 ]
 
 RED_FLAGS = ("BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin")
