@@ -1154,6 +1154,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def w7_percentiles(spark, sf):
+        """Exact per-group percentiles (linear interpolation): Spark's
+        percentile aggregate and DuckDB's quantile_cont share the
+        R-7 definition, bit-identical over doubles. Exact percentile is
+        a sort-based agg — fine per group; at 100 TB swap in
+        approx_percentile (t-digest, mergeable sketches) and loosen the
+        oracle to tolerance. Rounded to 6 decimals for the hash gate."""
+        e = _t(spark, sf, "events")
+        p = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+        return (e.groupBy("event_type")
+                .agg(F.round(p[0], 6).alias("p50"),
+                     F.round(p[1], 6).alias("p90"),
+                     F.round(p[2], 6).alias("p99"),
+                     F.count("*").alias("n")))
+
     def t_asof_join(spark, sf):
         """As-of join (operators/temporal.py:asof_join): each purchase
         event matched to the user's latest view at-or-before it. Spark
@@ -1745,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "w2_homepage": w2_homepage,
         "events_hopping_window": events_hopping_window,
+        "w7_percentiles": w7_percentiles,
         "t_asof_join": t_asof_join,
         "t_range_join": t_range_join,
         "dedup_clusters": dedup_clusters,
@@ -3089,6 +3105,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(ws AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S') AS win_start,
                    event_type, count(*) AS n, round(sum(value), 4) AS sum_value
             FROM hop GROUP BY win_start, event_type
+        """,
+        "w7_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99,
+                   count(*) AS n
+            FROM events GROUP BY event_type
         """,
         "t_asof_join": """
             WITH l AS (SELECT event_id AS purchase_id, user_id, ts
