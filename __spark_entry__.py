@@ -633,6 +633,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.concat_ws(",", F.sort_array(F.collect_list("source"))).alias("members"),
         )
 
+    def a12_rollup(spark, sf):
+        """Grouping sets via ROLLUP(status, priority): subtotal rows per
+        status and a grand total, exactly Spark's rollup() and ANSI
+        ROLLUP. Money summed as exact integer cents (the subtotal rows
+        re-sum the same doubles in different orders — integer sums make
+        every grouping level engine-exact). grouping_id disambiguates
+        NULL-as-subtotal from a genuinely NULL key."""
+        o = _t(spark, sf, "orders")
+        cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        return (o.rollup("o_orderstatus", "o_orderpriority")
+                .agg(F.count("*").alias("n_orders"),
+                     F.sum(cents).alias("revenue_cents"),
+                     F.grouping_id().alias("gid")))
+
+    def a13_pivot(spark, sf):
+        """Pivot: per-user event counts, one column per event type.
+        Spark's groupBy().pivot(values=...) with explicit pivot values
+        (never let the engine scan for distinct values at 100 TB — that
+        is an extra job over the full table); DuckDB replays it as
+        conditional aggregation, which is also exactly the physical
+        plan Spark lowers pivot to (a single hash agg, no shuffle
+        beyond the groupBy)."""
+        kinds = ["click", "view", "purchase", "signup", "error"]
+        e = _t(spark, sf, "events")
+        return (e.groupBy("user_id")
+                .pivot("event_type", kinds)
+                .count()
+                .na.fill(0, kinds))
+
+    def w8_ntile(spark, sf):
+        """ntile + percent_rank + cume_dist per event-type partition.
+        The ORDER BY key includes event_id so ties on value get a
+        deterministic total order — ntile bucket boundaries among tied
+        values would otherwise be engine-dependent. Rounded to 6 for
+        the hash gate."""
+        e = _t(spark, sf, "events")
+        w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        return e.select(
+            "event_id", "event_type",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+
     def w1_lag_delta(spark, sf):
         e = _t(spark, sf, "events")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1711,6 +1755,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q5_nation_revenue": q5_nation_revenue,
         "u3_set_ops": u3_set_ops,
+        "a12_rollup": a12_rollup,
+        "a13_pivot": a13_pivot,
+        "w8_ntile": w8_ntile,
         "w1_lag_delta": w1_lag_delta,
         "c5_json_extract": c5_json_extract,
         "c14_backoff_math": c14_backoff_math,
@@ -2191,6 +2238,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON c_custkey = o_custkey
             JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY r_name, n_name
+        """,
+        "a12_rollup": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                     AS revenue_cents,
+                   grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                     AS gid
+            FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "a13_pivot": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+            FROM events GROUP BY user_id
+        """,
+        "w8_ntile": """
+            SELECT event_id, event_type,
+                   ntile(4) OVER w AS quartile,
+                   round(percent_rank() OVER w, 6) AS pr,
+                   round(cume_dist() OVER w, 6) AS cd
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
         """,
         "u3_set_ops": """
             WITH en AS (SELECT DISTINCT source FROM documents WHERE lang = 'en'),
