@@ -677,6 +677,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.cume_dist().over(w), 6).alias("cd"),
         )
 
+    def w9_range_frame(spark, sf):
+        """RANGE-frame window: per-user trailing 1-hour event count and
+        value sum (event-time sliding aggregate without a self-join).
+        The frame bound is exact integer microseconds over epoch_us, so
+        frame membership is engine-exact; only the float sum needs the
+        round-6. This is the frame type a rate-limiter audit query uses
+        ('requests in the last hour per host')."""
+        e = _t(spark, sf, "events")
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        w = (Window.partitionBy("user_id").orderBy(us.alias("_us"))
+             .rangeBetween(-3_600_000_000, 0))
+        return e.select(
+            "event_id", "user_id",
+            F.count("*").over(w).alias("n_1h"),
+            F.round(F.sum("value").over(w), 6).alias("sum_1h"),
+        )
+
+    def a15_moments(spark, sf):
+        """Second-moment aggregates per group: sample stddev/variance
+        and covariance of value with event time. Both engines use
+        numerically-stable one-pass updates whose results agree to well
+        beyond the round-6 gate at these magnitudes (time is centered
+        to seconds-since-min to keep covar within double precision)."""
+        e = _t(spark, sf, "events")
+        sec = (F.unix_micros(F.col("ts").cast("timestamp")) / 1e6)
+        return (e.select("event_type", "value", sec.alias("t"))
+                .groupBy("event_type")
+                .agg(F.round(F.stddev_samp("value"), 6).alias("sd"),
+                     F.round(F.var_samp("value"), 6).alias("var"),
+                     F.round(F.covar_samp("value", F.col("t") - 1.7e9), 4)
+                     .alias("cov_t"),
+                     F.count("*").alias("n")))
+
     def w1_lag_delta(spark, sf):
         e = _t(spark, sf, "events")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1758,6 +1791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a12_rollup": a12_rollup,
         "a13_pivot": a13_pivot,
         "w8_ntile": w8_ntile,
+        "w9_range_frame": w9_range_frame,
+        "a15_moments": a15_moments,
         "w1_lag_delta": w1_lag_delta,
         "c5_json_extract": c5_json_extract,
         "c14_backoff_math": c14_backoff_math,
@@ -2265,6 +2300,23 @@ def oracle_sql() -> dict[str, str]:
                    round(cume_dist() OVER w, 6) AS cd
             FROM events
             WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        """,
+        "w9_range_frame": """
+            SELECT event_id, user_id,
+                   count(*) OVER w AS n_1h,
+                   round(sum(value) OVER w, 6) AS sum_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        """,
+        "a15_moments": """
+            SELECT event_type,
+                   round(stddev_samp(value), 6) AS sd,
+                   round(var_samp(value), 6) AS var,
+                   round(covar_samp(value, epoch_us(ts) / 1e6 - 1.7e9), 4)
+                     AS cov_t,
+                   count(*) AS n
+            FROM events GROUP BY event_type
         """,
         "u3_set_ops": """
             WITH en AS (SELECT DISTINCT source FROM documents WHERE lang = 'en'),
