@@ -1783,6 +1783,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents").select("doc_id", "text")
         return tfidf_top_terms(d, top_k=3)
 
+    def pipe_quality_gate(spark, sf):
+        """Composed FineWeb/Gopher-style corpus gate with first-failing-
+        reason attribution (pipeline.quality_gate: non_english ->
+        too_short -> low_alpha -> repetitive -> pass, one zero-shuffle
+        projection) rolled up to a per-reason loss ledger."""
+        from librecrawl_spark.operators.pipeline import quality_gate
+
+        g = quality_gate(_t(spark, sf, "documents"))
+        return (g.groupBy("reason")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("n_words").cast("long").alias("tot_words"),
+                     F.round(F.avg("word_rep_ratio"), 4).alias("avg_rep")))
+
+    def inc_changelog_compact(spark, sf):
+        """Changelog -> latest-state compaction (incremental.
+        changelog_compact): last-writer-wins upsert merge via one
+        max_by(struct) hash aggregation — no per-key window. Changelog
+        synthesized from documents: key = doc_id % 97, version wave =
+        doc_id // 97, every 13th record a delete."""
+        from librecrawl_spark.streaming.incremental import changelog_compact
+
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        log = d.select(
+            F.concat(F.lit("https://inc.example/u/"),
+                     F.pmod("doc_id", F.lit(97)).cast("string")).alias("url"),
+            F.floor(F.col("doc_id") / F.lit(97)).cast("long").alias("wave"),
+            F.when(F.pmod("doc_id", F.lit(13)) == 0, F.lit("delete"))
+            .otherwise(F.lit("upsert")).alias("op"),
+            F.md5("text").alias("content_hash"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        return changelog_compact(log)
+
+    def graph_degrees(spark, sf):
+        """Log2-binned in/out-degree histogram (graph.degree_histogram)
+        over the same deterministic affine-map link graph
+        graph_pagerank uses — the power-law / hub diagnostic."""
+        from librecrawl_spark.operators.graph import degree_histogram
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        n = d.count()
+        i = F.col("doc_id")
+        e1 = d.select(i.alias("src"), ((i * 7 + 1) % n).alias("dst"))
+        e2 = d.select(i.alias("src"), ((i * 13 + 3) % n).alias("dst"))
+        e3 = (d.filter(i % 5 != 0)
+              .select(i.alias("src"), ((i * 3 + 11) % n).alias("dst")))
+        edges = (e1.unionByName(e2).unionByName(e3)
+                 .filter(F.col("src") % 17 != 0))
+        return degree_histogram(edges)
+
     return {
         "a1_stats_counts": a1_stats_counts,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1872,6 +1922,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_supplier": q21_waiting_supplier,
         "pipe_kmeans": pipe_kmeans,
         "pipe_tfidf": pipe_tfidf,
+        "pipe_quality_gate": pipe_quality_gate,
+        "inc_changelog_compact": inc_changelog_compact,
+        "graph_degrees": graph_degrees,
         "graph_pagerank": graph_pagerank,
         "inc_snapshot_diff": inc_snapshot_diff,
         "pipe_domain_mix": pipe_domain_mix,
@@ -3643,5 +3696,72 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY doc_id
                        ORDER BY tfidf DESC, term ASC) AS rn
               FROM scored) WHERE rn <= 3
+        """,
+        "pipe_quality_gate": f"""
+            WITH q AS (
+              SELECT doc_id,
+                     len({toks}) AS n_words,
+                     round(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           * 1.0 / greatest(len(text), 1), 4) AS alpha_ratio,
+                     round((len({toks}) - len(list_distinct({toks})))
+                           * 1.0 / greatest(len({toks}), 1), 6) AS word_rep,
+                     {', '.join(f"{lang_score[l]} AS s_{l}" for l in langs)}
+              FROM documents),
+            p AS (
+              SELECT *, CASE WHEN {best} = 0 THEN 'unknown'
+                             ELSE {pred_chain} END AS pred_lang
+              FROM q),
+            r AS (
+              SELECT CASE WHEN pred_lang <> 'en' THEN 'non_english'
+                          WHEN n_words < 30 THEN 'too_short'
+                          WHEN alpha_ratio < 0.82 THEN 'low_alpha'
+                          WHEN word_rep > 0.62 THEN 'repetitive'
+                          ELSE 'pass' END AS reason,
+                     n_words, word_rep
+              FROM p)
+            SELECT reason, count(*) AS n_docs,
+                   CAST(sum(n_words) AS BIGINT) AS tot_words,
+                   round(avg(word_rep), 4) AS avg_rep
+            FROM r GROUP BY reason
+        """,
+        "inc_changelog_compact": """
+            WITH log AS (
+              SELECT 'https://inc.example/u/' || CAST(doc_id % 97 AS VARCHAR)
+                       AS url,
+                     doc_id // 97 AS wave,
+                     CASE WHEN doc_id % 13 = 0 THEN 'delete'
+                          ELSE 'upsert' END AS op,
+                     md5(text) AS content_hash,
+                     CAST(len(text) AS BIGINT) AS n_chars
+              FROM documents),
+            r AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY url ORDER BY wave DESC, op DESC) AS rn
+              FROM log)
+            SELECT url, wave, content_hash, n_chars
+            FROM r WHERE rn = 1 AND op = 'upsert'
+        """,
+        "graph_degrees": """
+            WITH d AS (SELECT doc_id FROM documents),
+            n AS (SELECT count(*) AS c FROM d),
+            edges AS (
+              SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT c FROM n) AS dst
+              FROM d
+              UNION ALL
+              SELECT doc_id, (doc_id * 13 + 3) % (SELECT c FROM n) FROM d
+              UNION ALL
+              SELECT doc_id, (doc_id * 3 + 11) % (SELECT c FROM n)
+              FROM d WHERE doc_id % 5 <> 0),
+            e AS (SELECT * FROM edges WHERE src % 17 <> 0),
+            outd AS (SELECT src AS node, count(*) AS degree FROM e GROUP BY 1),
+            ind AS (SELECT dst AS node, count(*) AS degree FROM e GROUP BY 1)
+            SELECT 'out' AS direction, CAST(floor(log2(degree)) AS INT) AS bucket,
+                   count(*) AS n_nodes, min(degree) AS min_degree,
+                   max(degree) AS max_degree
+            FROM outd GROUP BY 2
+            UNION ALL
+            SELECT 'in', CAST(floor(log2(degree)) AS INT), count(*),
+                   min(degree), max(degree)
+            FROM ind GROUP BY 2
         """,
     }

@@ -100,3 +100,31 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     out = ranks
     nodes.unpersist()
     return out
+
+
+def degree_histogram(edges: DataFrame, src: str = "src",
+                     dst: str = "dst") -> DataFrame:
+    """Log2-binned in/out-degree distribution of the link graph — the
+    first diagnostic a crawl corpus gets (power-law exponent eyeball,
+    hub detection, spider-trap symptom: a bucket far off the power-law
+    line). One row per (direction, bucket=floor(log2(degree))) with the
+    node count and min/max degree in the bucket.
+
+    Scale shape: two groupBy passes per direction (node-level count,
+    then bucket-level rollup). The node-level aggregation partial-
+    aggregates map-side; the bucket rollup is over at most ~64 rows per
+    direction worth of distinct buckets after the first shuffle, so the
+    second exchange is negligible. No windows, no driver state.
+    """
+    def one(col: str, name: str) -> DataFrame:
+        deg = edges.groupBy(F.col(col).alias("node")).agg(
+            F.count("*").alias("degree"))
+        bucket = F.floor(F.log2("degree")).cast("int")
+        return (deg.groupBy(bucket.alias("bucket"))
+                .agg(F.count("*").alias("n_nodes"),
+                     F.min("degree").alias("min_degree"),
+                     F.max("degree").alias("max_degree"))
+                .select(F.lit(name).alias("direction"), "bucket",
+                        "n_nodes", "min_degree", "max_degree"))
+
+    return one(src, "out").unionByName(one(dst, "in"))

@@ -274,3 +274,69 @@ def domain_mix_rates(
             F.round(F.least(F.lit(1.0), tgt / share), 6).alias("keep_rate"),
         )
     )
+
+
+def quality_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    keep_lang: str = "en",
+    min_words: int = 30,
+    min_alpha: float = 0.82,
+    max_word_rep: float = 0.62,
+) -> DataFrame:
+    """Composed corpus quality gate with first-failing-reason
+    attribution — the FineWeb/Gopher-style filter chain a corpus build
+    runs between extraction and dedup, folded into ONE pass:
+
+        non_english -> too_short -> low_alpha -> repetitive -> pass
+
+    Each document gets exactly one ``reason`` (the first gate it fails,
+    in pipeline application order), so the per-reason counts downstream
+    are a loss ledger: they sum to the corpus size and tell you what
+    each gate REMOVES GIVEN the earlier gates — the number you need to
+    tune thresholds, which per-gate independent counts do not give.
+
+    Signal semantics reuse the standalone operators verbatim (same
+    tokenization, same rounding): ``pred_lang`` is text.language_id's
+    marker argmax, ``n_words``/``alpha_ratio`` are text.quality_score's
+    definitions, ``word_rep_ratio`` is 1 - distinct/total tokens (the
+    text.repetition_metrics headline ratio). They are inlined as column
+    expressions rather than joined from the standalone operators, so
+    the whole gate is a single projection over the scan: zero shuffles,
+    zero Python, one pass over 100 TB, and Parquet still prunes to
+    (doc_id, text).
+    """
+    t = F.col(text_col)
+    words = F.expr(f"regexp_extract_all({text_col}, '\\\\w+', 0)")
+    lwords = F.array_distinct(
+        F.expr(f"regexp_extract_all(lower({text_col}), '\\\\w+', 0)"))
+    n_words = F.size(words)
+    alpha = F.round(
+        F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+        / F.greatest(F.length(t), F.lit(1)), 4)
+    word_rep = F.round(
+        (n_words - F.size(F.array_distinct(words)))
+        / F.greatest(n_words, F.lit(1)), 6)
+
+    from .text import LANG_MARKERS
+    langs = sorted(LANG_MARKERS)
+    scores = {l: F.size(F.array_intersect(
+        lwords, F.array(*[F.lit(m) for m in LANG_MARKERS[l]])))
+        for l in langs}
+    best = F.greatest(*scores.values())
+    pred = F.lit("unknown")
+    for l in reversed(langs):
+        pred = F.when(scores[l] == best, F.lit(l)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("unknown")).otherwise(pred)
+
+    reason = (
+        F.when(pred != keep_lang, F.lit("non_english"))
+        .when(n_words < min_words, F.lit("too_short"))
+        .when(alpha < min_alpha, F.lit("low_alpha"))
+        .when(word_rep > max_word_rep, F.lit("repetitive"))
+        .otherwise(F.lit("pass"))
+    )
+    return df.select(
+        "doc_id", reason.alias("reason"), n_words.alias("n_words"),
+        alpha.alias("alpha_ratio"), word_rep.alias("word_rep_ratio"),
+    )

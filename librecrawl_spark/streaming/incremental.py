@@ -127,3 +127,35 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str = "url",
         F.coalesce(F.col("_k"), F.col("_nk")).alias(key_col),
         cls.alias("change"),
     )
+
+
+def changelog_compact(log: DataFrame, key_col: str = "url",
+                      ver_col: str = "wave", op_col: str = "op") -> DataFrame:
+    """Changelog -> latest-state compaction (last-writer-wins upsert):
+    the merge step an incremental recrawl runs to fold a stream of
+    per-wave upsert/delete records into the current corpus snapshot.
+    ``op`` is 'upsert' or 'delete'; the newest record per key wins and
+    a winning delete drops the key from the output.
+
+    Plan shape: one hash aggregation — max_by(struct) keep-newest per
+    key with map-side partial aggregation (NO per-key window/sort, so a
+    hot key that received millions of updates still partial-aggregates
+    on the map side instead of sorting one huge partition), then a
+    codegen filter on the winner's op. One shuffle total, same as the
+    theoretical minimum for a keyed merge. Ties on (ver) break by op
+    DESC ('upsert' > 'delete' lexicographically) then payload-free
+    determinism is the caller's contract (the engine's changelogs never
+    emit two ops for one key in one wave).
+    """
+    payload = [c for c in log.columns if c not in (key_col, ver_col, op_col)]
+    winner = F.max_by(
+        F.struct(F.col(op_col).alias("_op"),
+                 *[F.col(c) for c in payload]),
+        F.struct(F.col(ver_col), F.col(op_col)),
+    ).alias("_w")
+    out = (log.groupBy(F.col(key_col))
+           .agg(winner, F.max(ver_col).alias(ver_col))
+           .filter(F.col("_w._op") == "upsert"))
+    return out.select(
+        key_col, ver_col,
+        *[F.col(f"_w.{c}").alias(c) for c in payload])
