@@ -1,0 +1,99 @@
+"""Name the extract-stage scaling-gap culprit with a measured number
+(VERDICT r3 'Next round' #4: 'either normalized >=0.8 or a named,
+measured fixed-cost culprit').
+
+Method: the fetch-join + Arrow extraction stage is timed at TWO input
+sizes per parallelism level. A single-size ratio folds the per-job
+fixed cost (Spark job scheduling, Python worker fan-out, Arrow batch
+pipeline warm-up) into the throughput; at local[32] the 200k-doc job
+finishes in ~4s, so a ~2.5s fixed component caps the measured 8->32
+ratio near 2.2x no matter how well the per-doc work scales. Fitting
+t(n) = fixed + rate * n per level separates the two:
+
+    rate_eff  = (rate_8 / rate_32) / 4      # marginal docs/sec scaling
+    fixed_l   = (n2*t1 - n1*t2) / (n2 - n1) # per-job constant, seconds
+
+rate_eff is the number that survives a 100x scale-up — on a real
+cluster a wave extracts millions of docs per job and the fixed cost
+amortizes to noise, exactly as it does between the two sizes here.
+
+Per-cell best over PROBE_ROUNDS interleaved rounds (same host-noise
+defense as bench.py --scaling: noise only subtracts, bests estimate
+capability). Results append to BENCH/extract_fixed_cost.json.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SIZES = (200_000, 1_000_000)
+LEVELS = (8, 32)
+
+
+def child(cpus: int, n_docs: int) -> None:
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    os.environ["BENCH_REPS"] = "2"
+    from bench import bench_extract
+    from librecrawl_spark.session import get_spark
+
+    spark = get_spark(f"probe-extract-{cpus}-{n_docs}",
+                      master=f"local[{cpus}]", shuffle_partitions=cpus * 2)
+    r = bench_extract(spark, n_docs=n_docs)
+    print("PROBE_RESULT " + json.dumps({"cpus": cpus, "n_docs": n_docs, **r}))
+    spark.stop()
+
+
+def main() -> None:
+    rounds = int(os.environ.get("PROBE_ROUNDS", "3"))
+    state_path = f"{REPO}/BENCH/extract_fixed_cost.json"
+    best: dict[str, float] = {}
+    if os.path.exists(state_path):
+        with open(state_path) as fh:
+            best = json.load(fh).get("best_sec", {})
+    for rd in range(rounds):
+        for cpus in LEVELS:
+            for n in SIZES:
+                p = subprocess.run(
+                    [sys.executable, __file__, "--child", str(cpus), str(n)],
+                    capture_output=True, text=True, cwd=REPO)
+                line = [l for l in p.stdout.splitlines()
+                        if l.startswith("PROBE_RESULT")]
+                if not line:
+                    print(p.stdout[-2000:], p.stderr[-2000:], file=sys.stderr)
+                    raise SystemExit(f"child {cpus}/{n} failed")
+                r = json.loads(line[-1].split(" ", 1)[1])
+                key = f"{cpus}:{n}"
+                prev = best.get(key)
+                best[key] = r["sec"] if prev is None else min(prev, r["sec"])
+                print(f"round {rd} local[{cpus}] n={n}: {r['sec']}s "
+                      f"({r['docs_per_sec']:,}/s) best={best[key]}s",
+                      file=sys.stderr)
+
+    n1, n2 = SIZES
+    out = {"best_sec": best, "sizes": SIZES, "ts": time.time()}
+    for cpus in LEVELS:
+        t1, t2 = best[f"{cpus}:{n1}"], best[f"{cpus}:{n2}"]
+        fixed = (n2 * t1 - n1 * t2) / (n2 - n1)
+        rate = (t2 - t1) / (n2 - n1)  # sec per doc, marginal
+        out[f"fixed_sec_{cpus}"] = round(fixed, 2)
+        out[f"marginal_docs_per_sec_{cpus}"] = round(1.0 / rate)
+    r8 = out["marginal_docs_per_sec_8"]
+    r32 = out["marginal_docs_per_sec_32"]
+    out["naive_eff_200k"] = round(
+        (best[f"32:{n1}"] and (best[f"8:{n1}"] / best[f"32:{n1}"])) / 4, 3)
+    out["marginal_eff"] = round((r32 / r8) / 4, 3)
+    with open(state_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child(int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        main()
