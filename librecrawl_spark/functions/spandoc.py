@@ -27,7 +27,12 @@ from librecrawl_spark.functions import urls as U
 
 SEP = "\x1f"
 MAX_REDIRECTS = 10
-_WORD_RE = re.compile(r"\b\w+\b")
+# counting pattern: the reference counts \b\w+\b matches — a maximal
+# \w+ run always starts and ends on a word boundary and \b\w+\b can
+# never match a partial run (the inner \b would fail), so the match
+# LISTS are identical and the plain \w+ scan is ~1.8x faster
+# (tests/test_spandoc.py asserts count equality on random text)
+_WORD_RE = re.compile(r"\w+")
 
 
 def parse_http(spans, attempt: int = 0) -> dict:

@@ -154,3 +154,25 @@ class TestNativeCanonical:
             "url string")
         h = [r["h"] for r in df.select(canonical_hash(F.col("url")).alias("h")).collect()]
         assert h[0] == h[1]
+
+
+class TestWordCountRegex:
+    def test_plain_run_scan_equals_boundary_pattern(self):
+        """_WORD_RE was changed from \\b\\w+\\b to \\w+ for speed; the two
+        must match the SAME token list on any input (a maximal \\w+ run
+        always starts/ends on a boundary; \\b\\w+\\b can't match a
+        partial run). Guards the reference word_count semantics
+        (seo_extractor word counting)."""
+        import random
+        import re
+        import string
+
+        from librecrawl_spark.functions.spandoc import _WORD_RE
+
+        boundary = re.compile(r"\b\w+\b")
+        rng = random.Random(42)
+        alphabet = string.printable + "éümß漢字_ —"
+        for _ in range(500):
+            s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 300)))
+            assert _WORD_RE.findall(s) == boundary.findall(s)
+        assert _WORD_RE.findall("a_b-c.d e") == ["a_b", "c", "d", "e"]
