@@ -468,10 +468,11 @@ normalized to the ceiling: frontier {f_eff / ceiling:.2f}, extract
 {_extract_fixed_cost_section()}
 ## Methodology + optimization history (rounds 1-4)
 
-Each measurement is the min over BENCH_REPS={os.environ.get('BENCH_REPS', '2')}
+Each measurement is the min over BENCH_REPS (default 2)
 repetitions inside one JVM; levels run in separate subprocesses (a
 JVM's local[k] master is fixed at startup) ALTERNATING across
-BENCH_SCALING_ROUNDS={os.environ.get('BENCH_SCALING_ROUNDS', '1')} rounds, keeping each
+BENCH_SCALING_ROUNDS interleaved rounds per invocation, with per-level
+bests ACCUMULATED across invocations in scaling_state.json, keeping each
 level's best per metric — this VM shows +/-40% noise windows from host
 neighbors (noise only subtracts throughput, so per-level bests are the
 honest capability estimates); no other load during measurement.
