@@ -27,7 +27,10 @@ def _rate_threshold(rate: float) -> str:
     so such strata keep every row."""
     if rate >= 1.0:
         return "zzzz"
-    return format(max(int(round(rate * 65536)), 0), "04x")
+    # clamp to 0xffff: rates just under 1 can round to 65536, whose hex
+    # ("10000", 5 chars) would compare lexicographically BELOW most
+    # 4-char keys and silently drop ~94% of a keep-almost-all stratum
+    return format(min(max(int(round(rate * 65536)), 0), 0xFFFF), "04x")
 
 
 def stratified_sample(

@@ -53,6 +53,19 @@ class TestStratifiedSample:
         out = stratified_sample(df, {"a": 1.0, "b": 0.0}).collect()
         assert len(out) == 100 and all(r["lang"] == "a" for r in out)
 
+    def test_rate_just_under_one_keeps_nearly_all(self, spark):
+        """A rate that rounds to 2^16 (e.g. 0.999999) must clamp to
+        0xffff, not spill to 5-hex-char '10000' — the unclamped string
+        compares lexicographically below most 4-char keys and would
+        silently drop ~94% of the stratum."""
+        from librecrawl_spark.operators.pipeline import stratified_sample
+
+        df = spark.createDataFrame(
+            [(i, "x") for i in range(512)], "doc_id long, lang string")
+        kept = stratified_sample(df, {"x": 0.999999}).count()
+        # only keys hashing exactly to 'ffff' (p = 2^-16) may drop
+        assert kept >= 510
+
     def test_deterministic_and_monotone_in_corpus(self, spark):
         """Keys kept at rate r over a 100-doc corpus are exactly the
         kept keys of the same rate over the grown 300-doc corpus,
