@@ -55,6 +55,8 @@ AUDITED = [
     "t_range_join",           # bucketized interval equi-join, no NLJ
     "q2_min_cost_supp",       # decorrelated min + join-back
     "q9_product_profit",      # star join, integer-exact money agg
+    "t_recrawl_priority",     # single hash agg + row-local ln math
+    "p2_budget_alloc",        # host-level window after 1-row broadcast
 ]
 
 RED_FLAGS = ("BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin")
@@ -70,6 +72,9 @@ ALLOWED = {
     "sim_cosine_topk": {"BroadcastNestedLoopJoin"},
     "pipe_kmeans": {"BroadcastNestedLoopJoin"},
     "pipe_tfidf": {"BroadcastNestedLoopJoin"},
+    # p2: the host-score frame joins a broadcast 1-row score total —
+    # same deliberate 1-row build side as pipe_tfidf
+    "p2_budget_alloc": {"BroadcastNestedLoopJoin"},
 }
 
 
