@@ -3796,8 +3796,8 @@ def oracle_sql() -> dict[str, str]:
         "t_recrawl_priority": """
             WITH g AS (
               SELECT user_id AS page, count(*) AS n_obs,
-                     sum(CASE WHEN event_type IN ('click', 'purchase')
-                              THEN 1 ELSE 0 END) AS n_changed,
+                     CAST(sum(CASE WHEN event_type IN ('click', 'purchase')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
                      min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
               FROM events GROUP BY user_id
               HAVING count(*) >= 2),
@@ -3818,7 +3818,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "p2_budget_alloc": """
             WITH hs AS (
-              SELECT source AS host, sum(n_chars) AS score
+              SELECT source AS host, CAST(sum(n_chars) AS BIGINT) AS score
               FROM documents GROUP BY source),
             tot AS (SELECT CAST(sum(score) AS DOUBLE) AS t FROM hs),
             d AS (
