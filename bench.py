@@ -319,6 +319,57 @@ def _calibrate_cpu(spark, cpus: int) -> dict:
     return {"sec": round(best, 2), "rows_per_sec": round(2_000_000_000 / best)}
 
 
+def _marginal_summary(ceiling: float) -> str:
+    """One-line marginal-rate efficiency summary per probed stage, raw
+    and ceiling-normalized, for the hardware-ceiling section."""
+    parts = []
+    for stage, fname in (("frontier", "frontier_fixed_cost.json"),
+                         ("extract", "extract_fixed_cost.json")):
+        try:
+            with open(f"{REPO}/BENCH/{fname}") as fh:
+                eff = json.load(fh)["marginal_eff"]
+        except (OSError, ValueError, KeyError):
+            continue
+        parts.append(f"{stage} marginal eff {eff:.2f} raw / "
+                     f"{eff / ceiling:.2f} normalized")
+    return (" " + "; ".join(parts) + ".") if parts else ""
+
+
+def _frontier_fixed_cost_section() -> str:
+    """Render the frontier-stage fixed-cost decomposition (maintained by
+    scripts/probe_frontier_scaling.py — same two-size t(n) = fixed +
+    n/rate fit as the extract probe). Empty string until probed."""
+    try:
+        with open(f"{REPO}/BENCH/frontier_fixed_cost.json") as fh:
+            fc = json.load(fh)
+    except (OSError, ValueError):
+        return ""
+    return f"""
+## Frontier stage: fixed-cost decomposition
+
+`scripts/probe_frontier_scaling.py` times the scheduling job at TWO
+candidate counts per level ({fc['sizes'][0]:,} and {fc['sizes'][1]:,};
+seen set fixed at the protocol's 2M rows) and fits t(n) = fixed +
+n/rate (accumulated per-cell bests in BENCH/frontier_fixed_cost.json):
+
+| level | fixed sec/job | marginal URLs/sec |
+|---|---|---|
+| local[8]  (N)  | {fc['fixed_sec_8']} | {fc['marginal_urls_per_sec_8']:,} |
+| local[32] (4N) | {fc['fixed_sec_32']} | {fc['marginal_urls_per_sec_32']:,} |
+
+The per-job constant (Spark job scheduling over the wave's ~15 stages,
+the fused trap/seq probe actions, Python policy-fallback fan-out, the
+robots-rules broadcast build, and the fixed 2M-row seen build side)
+does not shrink with cores, so at the 16M single-size headline it caps
+the measured ratio. The marginal per-URL rate scales
+{fc['marginal_urls_per_sec_32'] / fc['marginal_urls_per_sec_8']:.2f}x
+from 8 to 32 threads (raw eff {fc['marginal_eff']:.2f}). A wave over
+the north rule's 10^10-URL frontier schedules 10^8+ candidates per
+job, amortizing the constant to noise — the marginal rate is the
+transferable number, exactly as for the extract stage below.
+"""
+
+
 def _extract_fixed_cost_section() -> str:
     """Render the extract-stage fixed-cost decomposition (maintained by
     scripts/probe_extract_scaling.py) so --scaling rewrites of
@@ -408,7 +459,19 @@ def run_scaling(n: int) -> None:
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     with open(state_path, "w") as fh:
         json.dump({"n": n, "results": results}, fh)
+    _write_baseline_md(n, results)
 
+
+def rewrite_md() -> None:
+    """Regenerate BENCH/BASELINE.md from the banked scaling_state.json
+    (e.g. after a fixed-cost probe updates its section) without paying
+    for a full --scaling re-run."""
+    with open(f"{REPO}/BENCH/scaling_state.json") as fh:
+        prior = json.load(fh)
+    _write_baseline_md(prior["n"], {int(k): v for k, v in prior["results"].items()})
+
+
+def _write_baseline_md(n: int, results: dict) -> None:
     f8, f32 = results[8]["frontier"], results[32]["frontier"]
     e8, e32 = results[8]["extract"], results[32]["extract"]
     c8, c32 = results[8]["calibration"], results[32]["calibration"]
@@ -464,8 +527,11 @@ bring 4x memory bandwidth and IO with them.
 
 **Hardware ceiling efficiency: {ceiling:.2f}** — pipeline efficiencies
 normalized to the ceiling: frontier {f_eff / ceiling:.2f}, extract
-{e_eff / ceiling:.2f}.
-{_extract_fixed_cost_section()}
+{e_eff / ceiling:.2f}. Single-size ratios fold each job's fixed cost
+into the throughput; the per-stage fixed-cost decompositions below
+separate it, and their MARGINAL per-row rates are the numbers that
+transfer to real wave sizes:{_marginal_summary(ceiling)}
+{_frontier_fixed_cost_section()}{_extract_fixed_cost_section()}
 ## Methodology + optimization history (rounds 1-4)
 
 Each measurement is the min over BENCH_REPS (default 2)
@@ -526,5 +592,7 @@ if __name__ == "__main__":
         _scaling_child(int(sys.argv[2]), int(sys.argv[3]))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         run_scaling(int(sys.argv[2]) if len(sys.argv) > 2 else SCALING_N)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--rewrite-md":
+        rewrite_md()
     else:
         run_suite()

@@ -1,0 +1,139 @@
+"""Decompose the frontier-stage scaling ratio into per-job fixed cost
+vs marginal scheduling rate (same methodology the round-3 verdict
+accepted for the extract stage, scripts/probe_extract_scaling.py).
+
+Why: the --scaling headline times ONE input size (16M candidates) per
+level. At local[32] the best wall is ~16s, of which a multi-second
+per-job constant (Spark job scheduling across the wave's ~15 jobs/
+stages, the fused probe actions, Python policy-fallback worker
+fan-out, broadcast build of the 1000-host robots rules) does not
+shrink with more cores — so the single-size ratio under-reads how the
+per-URL work scales. Timing the SAME job at TWO candidate counts per
+level and fitting t(n) = fixed + n/rate separates the two:
+
+    fixed_l      = (n2*t1 - n1*t2) / (n2 - n1)   # per-job constant, sec
+    marginal_eff = (rate_32 / rate_8) / 4        # per-URL scaling
+
+marginal_eff is the number that survives a 100x scale-up: a real wave
+over a 10^10-URL frontier schedules ~10^8-10^9 candidates per job, so
+the per-job constant amortizes to noise exactly as it does between the
+two sizes here. The seen set stays fixed at the --scaling protocol's
+2M rows for both sizes (identical plan shape: shuffle-hash anti-join);
+its build cost is therefore part of the measured fixed component.
+
+Per-cell best over PROBE_ROUNDS interleaved rounds (same host-noise
+defense as bench.py --scaling: noise only subtracts, per-cell bests
+estimate capability). Results accumulate in
+BENCH/frontier_fixed_cost.json; bench.py renders them into
+BENCH/BASELINE.md (run `python bench.py --rewrite-md` after probing).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SIZES = (4_000_000, 16_000_000)
+LEVELS = (8, 32)
+
+
+def child(cpus: int, n: int) -> None:
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    os.environ["BENCH_REPS"] = "2"
+    from bench import SCALING_SEEN_M, bench_frontier_schedule
+    from librecrawl_spark.session import WAVE_BROADCAST_THRESHOLD, get_spark
+
+    spark = get_spark(f"probe-frontier-{cpus}-{n}",
+                      master=f"local[{cpus}]", shuffle_partitions=cpus * 2,
+                      extra_conf={"spark.sql.autoBroadcastJoinThreshold":
+                                  str(WAVE_BROADCAST_THRESHOLD)})
+    r = bench_frontier_schedule(spark, n=n, m=SCALING_SEEN_M)
+    print("PROBE_RESULT " + json.dumps({"cpus": cpus, "n": n, **r}))
+    spark.stop()
+
+
+def _sync_scaling_state(best: dict) -> None:
+    """The probe's 16M cells ARE the --scaling job (same function, same
+    input, same per-level protocol), so the two state files must agree —
+    per-(level, input) bests live in one pool. Seed the probe's 16M
+    cells from BENCH/scaling_state.json and write improved walls back."""
+    path = f"{REPO}/BENCH/scaling_state.json"
+    try:
+        with open(path) as fh:
+            st = json.load(fh)
+    except (OSError, ValueError):
+        return
+    if st.get("n") != SIZES[1]:
+        return
+    changed = False
+    for cpus in LEVELS:
+        fr = st["results"][str(cpus)]["frontier"]
+        key = f"{cpus}:{SIZES[1]}"
+        if key not in best or fr["sec"] < best[key]:
+            best[key] = fr["sec"]
+        elif best[key] < fr["sec"]:
+            fr["sec"] = best[key]
+            fr["urls_per_sec"] = round(SIZES[1] / best[key])
+            changed = True
+    if changed:
+        with open(path, "w") as fh:
+            json.dump(st, fh)
+        print("scaling_state.json frontier bests improved by probe cells",
+              file=sys.stderr)
+
+
+def main() -> None:
+    rounds = int(os.environ.get("PROBE_ROUNDS", "3"))
+    state_path = f"{REPO}/BENCH/frontier_fixed_cost.json"
+    best: dict[str, float] = {}
+    if os.path.exists(state_path):
+        with open(state_path) as fh:
+            best = json.load(fh).get("best_sec", {})
+    _sync_scaling_state(best)
+    for rd in range(rounds):
+        for cpus in LEVELS:
+            for n in SIZES:
+                p = subprocess.run(
+                    [sys.executable, __file__, "--child", str(cpus), str(n)],
+                    capture_output=True, text=True, cwd=REPO)
+                line = [l for l in p.stdout.splitlines()
+                        if l.startswith("PROBE_RESULT")]
+                if not line:
+                    print(p.stdout[-2000:], p.stderr[-2000:], file=sys.stderr)
+                    raise SystemExit(f"child {cpus}/{n} failed")
+                r = json.loads(line[-1].split(" ", 1)[1])
+                key = f"{cpus}:{n}"
+                prev = best.get(key)
+                best[key] = r["sec"] if prev is None else min(prev, r["sec"])
+                print(f"round {rd} local[{cpus}] n={n}: {r['sec']}s "
+                      f"({r['urls_per_sec']:,}/s) best={best[key]}s",
+                      file=sys.stderr)
+
+    _sync_scaling_state(best)
+    n1, n2 = SIZES
+    out = {"best_sec": best, "sizes": SIZES, "ts": time.time()}
+    for cpus in LEVELS:
+        t1, t2 = best[f"{cpus}:{n1}"], best[f"{cpus}:{n2}"]
+        fixed = (n2 * t1 - n1 * t2) / (n2 - n1)
+        rate = (t2 - t1) / (n2 - n1)  # sec per candidate URL, marginal
+        out[f"fixed_sec_{cpus}"] = round(fixed, 2)
+        out[f"marginal_urls_per_sec_{cpus}"] = round(1.0 / rate)
+    r8 = out["marginal_urls_per_sec_8"]
+    r32 = out["marginal_urls_per_sec_32"]
+    out["naive_eff_16m"] = round(
+        (best[f"8:{n2}"] / best[f"32:{n2}"]) / 4, 3)
+    out["marginal_eff"] = round((r32 / r8) / 4, 3)
+    with open(state_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child(int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        main()
