@@ -440,13 +440,22 @@ _PLACEMENT = {"nav": "navigation", "footer": "footer"}
 
 
 def extract_all(url: str, spans, base_domain: str, *, want_links: bool = True,
-                want_cands: bool = True):
+                want_cands: bool = True, href_memo: dict | None = None):
     """ENGINE-ONLY fused extraction: extract_page + collect_links +
     frontier_candidates in ONE span walk with ONE urljoin/urlparse per
     anchor (they each re-walked spans and re-parsed every href — ~2x the
     Python time of the extraction stage). The oracle keeps the three
     separate transcriptions; tests/test_crawl_e2e.py enforces that this
-    fused path is byte-identical to them. Returns (page, links, cands)."""
+    fused path is byte-identical to them. Returns (page, links, cands).
+
+    ``href_memo`` caches the href-derived tuple (absolute URL, link
+    scope, candidate clean/signature/host) across pages within one
+    Arrow worker — nav/footer hrefs repeat on every page of a host, and
+    urljoin/urlparse dominate the walk's profile. The key pins every
+    input the derivation depends on: absolute hrefs are base-independent
+    (key = href), root-relative hrefs depend only on the page origin
+    (key = (origin, href)), other relatives on the full page URL. First
+    occurrence always computes through the exact original code path."""
     title = ""
     meta: dict[str, str] = {}
     og_tags: dict[str, str] = {}
@@ -473,6 +482,12 @@ def extract_all(url: str, spans, base_domain: str, *, want_links: bool = True,
     base_www = U.strip_www(base_domain)
     scope_base = base_domain.replace("www.", "")
     anchor_idx = 0
+    if href_memo is None:
+        href_memo = {}
+    # page origin for root-relative memo keys: scheme://netloc (the only
+    # base parts RFC-3986 uses to join a "/"-rooted reference)
+    sl = url.find("/", url.find("://") + 3) if "://" in url else -1
+    origin = url[:sl] if sl > 0 else url
 
     for s in spans:
         k = s["kind"]
@@ -482,28 +497,21 @@ def extract_all(url: str, spans, base_domain: str, *, want_links: bool = True,
             href = s["media_ref"]
             idx = anchor_idx
             anchor_idx += 1
-            parsed = None
+            # empty href: no count/links row (guarded by `if href` in the
+            # unfused paths) and no candidate (is_special_href('') is True)
             if href:
-                absolute = urljoin(url, href)
-                parsed = urlparse(absolute)
-                # seo_extractor.py:225 link counting (javascript: excluded here)
-                if not href.startswith(_SPECIAL_COUNT_PREFIXES):
+                if href.startswith(("http://", "https://")):
+                    mkey = href
+                elif href[0] == "/":
+                    mkey = (origin, href)
+                else:
+                    mkey = (url, href)
+                ent = href_memo.get(mkey)
+                if ent is None:
+                    absolute = urljoin(url, href)
+                    parsed = urlparse(absolute)
+                    # seo_extractor.py:225 www-insensitive count domain
                     is_int_cnt = U.strip_www(parsed.netloc) == base_www
-                    if is_int_cnt:
-                        internal_links += 1
-                    else:
-                        external_links += 1
-                    # seo_extractor.py:239-247 links_data (raw href/text,
-                    # rel tokens, target, exact-domain is_internal)
-                    links_data.append({
-                        "href": href,
-                        "absolute_url": absolute,
-                        "text": text.strip(),
-                        "rel": rel.split() if rel else [],
-                        "target": target,
-                        "is_internal": is_int_cnt,
-                    })
-                if want_links:
                     # collect_all_links (link_manager.py:120-199)
                     if "#" in absolute:
                         tgt = absolute.split("#")[0]
@@ -518,33 +526,61 @@ def extract_all(url: str, spans, base_domain: str, *, want_links: bool = True,
                             scope = "sub"
                         else:
                             scope = "external"
-                        links.append({
-                            "source_url": url,
-                            "target_url": tgt,
-                            "anchor_text": text.strip()[:100] or "(no text)",
-                            "is_internal": scope in ("root", "sub"),
-                            "target_domain": tgt_netloc,
-                            "placement": _PLACEMENT.get(region, "body"),
-                            "nofollow": "nofollow" in rel.split(),
-                            "scope": scope,
-                        })
-            if want_cands:
-                hs = href.strip() if href else href
-                if not U.is_special_href(hs):
-                    if hs == href and parsed is not None:
-                        # reuse the parse: reference_clean rebuilds from
-                        # the same urljoin/urlparse (link_manager.py:62-68)
-                        clean = f"{parsed.scheme}://{parsed.netloc}{parsed.path}"
-                        if parsed.query:
-                            clean += f"?{parsed.query}"
-                        path = parsed.path
-                        host = parsed.netloc
                     else:
-                        clean = U.reference_clean(hs, url)
-                        cp = urlparse(clean)
-                        path, host = cp.path, cp.netloc
-                    sig = U._DIGITS_RE.sub(r"\\d+", path)
-                    sig = U._UUID_RE.sub(r"\\uuid", sig)
+                        scope = None
+                    hs = href.strip()
+                    if U.is_special_href(hs):
+                        clean = sig = host = None
+                    else:
+                        if hs == href:
+                            # reuse the parse: reference_clean rebuilds
+                            # from the same urljoin/urlparse
+                            # (link_manager.py:62-68)
+                            clean = f"{parsed.scheme}://{parsed.netloc}{parsed.path}"
+                            if parsed.query:
+                                clean += f"?{parsed.query}"
+                            path = parsed.path
+                            host = parsed.netloc
+                        else:
+                            clean = U.reference_clean(hs, url)
+                            cp = urlparse(clean)
+                            path, host = cp.path, cp.netloc
+                        sig = U._DIGITS_RE.sub(r"\\d+", path)
+                        sig = U._UUID_RE.sub(r"\\uuid", sig)
+                    ent = (absolute, is_int_cnt, tgt, tgt_netloc, scope,
+                           clean, sig, host)
+                    if len(href_memo) < 200_000:
+                        href_memo[mkey] = ent
+                (absolute, is_int_cnt, tgt, tgt_netloc, scope,
+                 clean, sig, host) = ent
+                # seo_extractor.py:225 link counting (javascript: excluded here)
+                if not href.startswith(_SPECIAL_COUNT_PREFIXES):
+                    if is_int_cnt:
+                        internal_links += 1
+                    else:
+                        external_links += 1
+                    # seo_extractor.py:239-247 links_data (raw href/text,
+                    # rel tokens, target, exact-domain is_internal)
+                    links_data.append({
+                        "href": href,
+                        "absolute_url": absolute,
+                        "text": text.strip(),
+                        "rel": rel.split() if rel else [],
+                        "target": target,
+                        "is_internal": is_int_cnt,
+                    })
+                if want_links and scope is not None:
+                    links.append({
+                        "source_url": url,
+                        "target_url": tgt,
+                        "anchor_text": text.strip()[:100] or "(no text)",
+                        "is_internal": scope in ("root", "sub"),
+                        "target_domain": tgt_netloc,
+                        "placement": _PLACEMENT.get(region, "body"),
+                        "nofollow": "nofollow" in rel.split(),
+                        "scope": scope,
+                    })
+                if want_cands and clean is not None:
                     cands.append({
                         "clean_url": clean,
                         "link_idx": idx,

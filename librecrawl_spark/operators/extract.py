@@ -410,6 +410,23 @@ def extract_pages(fetched: DataFrame, base_domain: str, *,
 
         from librecrawl_spark.functions import spandoc as S, urls as U
 
+        # href-derivation memo shared across every page this worker
+        # parses (bounded; see spandoc.extract_all) — nav/footer hrefs
+        # repeat on every page of a host
+        href_memo: dict = {}
+        # PAGE_SCHEMA column order, inlined because StructType.fromDDL
+        # needs a SparkContext and workers have none (asserted equal to
+        # _page_fields() by tests/test_operators.py)
+        names = PAGE_COLUMNS
+        # page-dict keys in PAGE_SCHEMA order (title .. schema_org)
+        pk = ("title", "meta_description", "h1", "h1_list",
+              "headings_structure", "h2", "h3", "word_count",
+              "canonical_url", "robots", "viewport", "images",
+              "internal_links", "external_links", "hreflang",
+              "json_ld_count", "json_ld", "schema_types", "ai_ready",
+              "faq_count", "has_organization", "has_website",
+              "article_fields_ok", "lang", "charset", "og_tags",
+              "twitter_tags", "analytics", "schema_org")
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
@@ -431,39 +448,40 @@ def extract_pages(fetched: DataFrame, base_domain: str, *,
                     url, spans if is_html else [], base_domain,
                     want_links=is_html,
                     want_cands=is_html and should_extract,
+                    href_memo=href_memo,
                 )
-                rows.append({
-                    "url": url, "depth": r.depth, "seq": r.seq, "wave": r.wave,
-                    "status_code": r.status_code, "content_type": r.content_type,
-                    "size": r.size, "is_internal": is_internal, "error": r.error,
-                    "retry_count": r.retry_count, "backoff_total": r.backoff_total,
-                    "redirect_count": r.redirect_count,
-                    "redirects": list(r.redirects),
-                    "redirect_chain": [dict(c) for c in r.redirect_chain],
-                    "final_url": r.final_url,
-                    "x_robots_tag": r.x_robots_tag if r.error is None else "",
-                    "response_time": r.response_time,
-                    "response_headers": S.headers_map(r.hdr),
-                    **{k: page[k] for k in (
-                        "title", "meta_description", "h1", "h1_list",
-                        "headings_structure", "h2", "h3", "word_count",
-                        "canonical_url", "robots", "viewport", "images",
-                        "internal_links", "external_links", "hreflang",
-                        "json_ld_count", "json_ld", "schema_types",
-                        "ai_ready", "faq_count", "has_organization",
-                        "has_website", "article_fields_ok",
-                        "lang", "charset", "og_tags",
-                        "twitter_tags", "analytics", "schema_org",
-                        "links_data",
-                    )},
-                    "links": links,
-                    "candidates": cands,
-                })
-            yield pd.DataFrame(rows) if rows else pd.DataFrame(
-                {f.name: [] for f in _page_fields()}
-            )
+                # one tuple per row in exact PAGE_SCHEMA column order
+                # (named-column frame below; ~2x cheaper to build than a
+                # 50-key dict per row)
+                rows.append((
+                    url, r.depth, r.seq, r.wave,
+                    r.status_code, r.content_type, r.size, is_internal,
+                    r.retry_count, r.backoff_total,
+                    r.error, r.redirect_count, list(r.redirects),
+                    [dict(c) for c in r.redirect_chain], r.final_url,
+                    *map(page.__getitem__, pk),
+                    r.x_robots_tag if r.error is None else "",
+                    r.response_time, S.headers_map(r.hdr),
+                    page["links_data"], links, cands,
+                ))
+            yield pd.DataFrame(rows, columns=names)
 
     return fetched.mapInPandas(run, schema=PAGE_SCHEMA)
+
+
+PAGE_COLUMNS = [
+    "url", "depth", "seq", "wave", "status_code", "content_type", "size",
+    "is_internal", "retry_count", "backoff_total", "error",
+    "redirect_count", "redirects", "redirect_chain", "final_url", "title",
+    "meta_description", "h1", "h1_list", "headings_structure", "h2", "h3",
+    "word_count", "canonical_url", "robots", "viewport", "images",
+    "internal_links", "external_links", "hreflang", "json_ld_count",
+    "json_ld", "schema_types", "ai_ready", "faq_count", "has_organization",
+    "has_website", "article_fields_ok", "lang", "charset", "og_tags",
+    "twitter_tags", "analytics", "schema_org", "x_robots_tag",
+    "response_time", "response_headers", "links_data", "links",
+    "candidates",
+]
 
 
 def _page_fields():

@@ -48,6 +48,36 @@ def child(cpus: int, n_docs: int) -> None:
     spark.stop()
 
 
+def _sync_scaling_state(best: dict) -> None:
+    """The probe's 200k cells ARE the --scaling extract stage (same
+    function, same input, same per-level protocol) — per-(level, input)
+    bests live in one pool. Seed from BENCH/scaling_state.json and
+    write improved walls back (mirrors probe_frontier_scaling.py)."""
+    path = f"{REPO}/BENCH/scaling_state.json"
+    try:
+        with open(path) as fh:
+            st = json.load(fh)
+    except (OSError, ValueError):
+        return
+    changed = False
+    for cpus in LEVELS:
+        ex = st["results"][str(cpus)]["extract"]
+        if ex.get("docs") != SIZES[0]:
+            return
+        key = f"{cpus}:{SIZES[0]}"
+        if key not in best or ex["sec"] < best[key]:
+            best[key] = ex["sec"]
+        elif best[key] < ex["sec"]:
+            ex["sec"] = best[key]
+            ex["docs_per_sec"] = round(SIZES[0] / best[key])
+            changed = True
+    if changed:
+        with open(path, "w") as fh:
+            json.dump(st, fh)
+        print("scaling_state.json extract bests improved by probe cells",
+              file=sys.stderr)
+
+
 def main() -> None:
     rounds = int(os.environ.get("PROBE_ROUNDS", "3"))
     state_path = f"{REPO}/BENCH/extract_fixed_cost.json"
@@ -55,6 +85,7 @@ def main() -> None:
     if os.path.exists(state_path):
         with open(state_path) as fh:
             best = json.load(fh).get("best_sec", {})
+    _sync_scaling_state(best)
     for rd in range(rounds):
         for cpus in LEVELS:
             for n in SIZES:
@@ -74,6 +105,7 @@ def main() -> None:
                       f"({r['docs_per_sec']:,}/s) best={best[key]}s",
                       file=sys.stderr)
 
+    _sync_scaling_state(best)
     n1, n2 = SIZES
     out = {"best_sec": best, "sizes": SIZES, "ts": time.time()}
     for cpus in LEVELS:

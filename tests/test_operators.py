@@ -670,3 +670,13 @@ class TestSeenBloom:
         )._jdf.queryExecution().executedPlan().toString()
         assert "might_contain" in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestPageColumns:
+    def test_page_columns_match_schema_order(self, spark):
+        """extract_pages builds row tuples positionally against
+        PAGE_COLUMNS (workers cannot parse the DDL — no SparkContext),
+        so the inlined list must track PAGE_SCHEMA exactly."""
+        from librecrawl_spark.operators.extract import PAGE_COLUMNS, _page_fields
+
+        assert PAGE_COLUMNS == [f.name for f in _page_fields()]
