@@ -322,6 +322,10 @@ def _sitewide_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# exactly 8 \w+ tokens — one full k=8 chunk when prepended (dedup_chunks)
+_CHUNK_BOILER = "all rights reserved contact us for more info"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from librecrawl_spark.operators import dedup as D, similarity as S, text as T
 
@@ -1194,6 +1198,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lined = F.when(n > 0, F.concat_ws("\n", lines)).otherwise(F.lit(""))
         return repetition_filter(d.select("doc_id", lined.alias("text")))
 
+    def dedup_chunks(spark, sf):
+        """Cross-document duplicated-chunk gate (dedup.dup_chunk_filter,
+        k=8): the chunk-hash approximation of exact-substring dedup.
+        Every doc_id % 7 == 0 document gets an 8-token boilerplate
+        PREPENDED (chunk-aligned at position 0, so the planted chunk is
+        byte-identical across all planted docs) — both engines apply the
+        same expression, exercising the corpus-wide hash counts, the
+        within-doc double-occurrence path, and the short-doc zero-chunk
+        restore."""
+        from librecrawl_spark.operators.dedup import dup_chunk_filter
+
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        t = F.concat(
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit(_CHUNK_BOILER + " ")).otherwise(F.lit("")),
+            F.col("text"),
+        )
+        return dup_chunk_filter(d.select("doc_id", t.alias("text")), k=8)
+
     def text_pii(spark, sf):
         """PII scrubbing (text.scrub_pii) over documents with
         deterministically planted identifiers (the fixture corpus has no
@@ -1938,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_contamination": pipe_contamination,
         "text_repetition": text_repetition,
         "text_pii": text_pii,
+        "dedup_chunks": dedup_chunks,
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
         "q10_returned_items": q10_returned_items,
@@ -3275,6 +3299,45 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "text_pii": _pii_oracle_sql(),
+        "dedup_chunks": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN '{_CHUNK_BOILER} ' || text ELSE text END AS text
+              FROM documents
+            ),
+            tk AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t
+              FROM d
+            ),
+            ch AS (
+              SELECT doc_id, unnest(list_transform(
+                       range(0, CAST(len(t) // 8 AS INT)),
+                       i -> array_to_string(t[i*8+1 : i*8+8], ' '))) AS chunk
+              FROM tk
+            ),
+            occ AS (
+              SELECT doc_id, chunk, count(*) AS cnt FROM ch GROUP BY 1, 2
+            ),
+            tot AS (SELECT chunk, sum(cnt) AS total FROM occ GROUP BY 1),
+            per AS (
+              SELECT occ.doc_id,
+                     CAST(sum(occ.cnt) AS INT) AS n_chunks,
+                     CAST(sum(CASE WHEN tot.total > 1 THEN occ.cnt ELSE 0 END)
+                          AS INT) AS n_dup_chunks
+              FROM occ JOIN tot USING (chunk) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(per.n_chunks, 0) AS n_chunks,
+                   coalesce(per.n_dup_chunks, 0) AS n_dup_chunks,
+                   CASE WHEN coalesce(per.n_chunks, 0) > 0
+                        THEN round(per.n_dup_chunks * 1.0 / per.n_chunks, 6)
+                        ELSE 0.0 END AS dup_chunk_frac,
+                   (CASE WHEN coalesce(per.n_chunks, 0) > 0
+                         THEN round(per.n_dup_chunks * 1.0 / per.n_chunks, 6)
+                         ELSE 0.0 END) <= 0.5 AS keep
+            FROM d LEFT JOIN per USING (doc_id)
+        """,
         "pipe_cluster_reps": """
             WITH RECURSIVE nd AS (SELECT count(*) AS n FROM documents),
             e0 AS (

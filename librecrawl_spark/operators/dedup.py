@@ -387,3 +387,83 @@ def dup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     return cc.select(
         F.col("id").alias(id_col), F.col("comp").alias("cluster"),
         (F.col("id") == F.col("comp")).alias("is_keeper"))
+
+
+def dup_chunk_stats(df: DataFrame, text_col: str = "text",
+                    k: int = 8) -> DataFrame:
+    """Cross-document duplicated-chunk statistics — the chunk-hash
+    approximation of exact-substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" §4.1
+    motivates removing repeated substrings; the scalable web-corpus
+    variant hashes NON-OVERLAPPING k-token chunks, as in MassiveWeb's
+    boilerplate pass) over the corpus-wide tokenization shared with
+    token_count/repetition_metrics (lowercase ``\\w+``).
+
+    A chunk occurrence is *duplicated* when its md5 appears more than
+    once across the whole corpus (including twice within one document —
+    exactly what "this substring exists elsewhere" means). Per doc:
+
+    - ``n_chunks``        full k-token chunks (trailing partial dropped)
+    - ``n_dup_chunks``    occurrences whose hash has corpus count > 1
+    - ``dup_chunk_frac``  n_dup_chunks / n_chunks, round 6 (0.0 when
+                          the doc is shorter than k tokens)
+
+    Scale shape: per-(doc, hash) counts first (``groupBy`` — partial
+    aggregation combines map-side, so a boilerplate chunk repeated 10^4
+    times in one page ships as ONE row), then per-hash totals
+    (hash-partitioned agg; its output partitioning feeds the join back
+    so only the occurrence side re-exchanges), then one doc_id re-agg.
+    Never a window over the hash key — a chunk shared by 10^8 docs is
+    just a large but splittable aggregation group, not a single-task
+    sort. md5 keys keep the DuckDB oracle bit-identical."""
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '\\\\w+', 0)")
+    d = df.select("doc_id", toks.alias("_tk"))
+    n_full = F.floor(F.size("_tk") / k).cast("int")
+    chunks = F.when(
+        n_full > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_full - 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("_tk", i * k + 1, k))),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    occ = (
+        _spread(d).select("doc_id", F.explode(chunks).alias("chash"))
+        .groupBy("doc_id", "chash").agg(F.count("*").alias("cnt"))
+    )
+    tot = occ.groupBy("chash").agg(F.sum("cnt").alias("total"))
+    per_doc = (
+        occ.join(tot, "chash")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("int").alias("n_chunks"),
+            F.sum(F.when(F.col("total") > 1, F.col("cnt")).otherwise(F.lit(0)))
+            .cast("int").alias("n_dup_chunks"),
+        )
+    )
+    # docs with < k tokens produce no occurrence rows — restore them
+    return (
+        df.select("doc_id").join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0)).alias("n_dup_chunks"),
+            F.round(
+                F.when(F.coalesce("n_chunks", F.lit(0)) > 0,
+                       F.coalesce("n_dup_chunks", F.lit(0)).cast("double")
+                       / F.col("n_chunks")).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_chunk_frac"),
+        )
+    )
+
+
+def dup_chunk_filter(df: DataFrame, text_col: str = "text", k: int = 8,
+                     max_dup_chunk_frac: float = 0.5) -> DataFrame:
+    """Gate on cross-document chunk duplication: ``keep`` is false when
+    more than ``max_dup_chunk_frac`` of a document's k-token chunks
+    exist elsewhere in the corpus — the inter-document complement of
+    the within-document Gopher repetition gate (text.repetition_filter).
+    Returns metrics plus the flag so pipelines can audit before
+    dropping."""
+    m = dup_chunk_stats(df, text_col, k)
+    return m.withColumn("keep", F.col("dup_chunk_frac") <= max_dup_chunk_frac)

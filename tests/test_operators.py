@@ -141,6 +141,59 @@ class TestDedup:
             assert 0 <= rows[1][f"band{g}"] < (1 << 16)
         assert rows[1]["simhash"] != rows[3]["simhash"]
 
+    def test_dup_chunk_stats_planted(self, spark):
+        from librecrawl_spark.operators.dedup import (
+            dup_chunk_filter, dup_chunk_stats)
+
+        boiler = "all rights reserved contact us for more info"  # 8 tokens
+        d = spark.createDataFrame(
+            [
+                # 2 chunks: unique 8 tokens + the shared boilerplate
+                (1, "aa bb cc dd ee ff gg hh " + boiler),
+                # 1 chunk: the boilerplate alone (trailing token dropped)
+                (2, boiler + " tail"),
+                # internal duplication only: same 8-token chunk twice
+                (3, "p q r s t u v w p q r s t u v w"),
+                # shorter than k -> zero chunks
+                (4, "too short"),
+                (5, "ii jj kk ll mm nn oo pp qq rr ss tt uu vv ww xx"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in dup_chunk_stats(d, k=8).collect()}
+        assert (got[1]["n_chunks"], got[1]["n_dup_chunks"]) == (2, 1)
+        assert got[1]["dup_chunk_frac"] == 0.5
+        assert (got[2]["n_chunks"], got[2]["n_dup_chunks"]) == (1, 1)
+        assert got[3]["n_dup_chunks"] == 2  # twice-in-one-doc counts
+        assert (got[4]["n_chunks"], got[4]["dup_chunk_frac"]) == (0, 0.0)
+        assert got[5]["n_dup_chunks"] == 0
+        keep = {r["doc_id"]: r["keep"]
+                for r in dup_chunk_filter(d, k=8).collect()}
+        assert keep == {1: True, 2: False, 3: False, 4: True, 5: True}
+
+    def test_dup_chunk_matches_python_transcription(self, docs):
+        import re
+        from collections import Counter
+
+        from librecrawl_spark.operators.dedup import dup_chunk_stats
+
+        k = 8
+        rows = docs.select("doc_id", "text").collect()
+        chunks = {}
+        for r in rows:
+            t = re.findall(r"[0-9A-Za-z_]+", (r["text"] or "").lower())
+            chunks[r["doc_id"]] = [
+                " ".join(t[i * k:(i + 1) * k]) for i in range(len(t) // k)]
+        tot = Counter(c for cs in chunks.values() for c in cs)
+        got = {r["doc_id"]: r for r in dup_chunk_stats(docs, k=k).collect()}
+        assert set(got) == set(chunks)
+        for did, cs in chunks.items():
+            nd = sum(1 for c in cs if tot[c] > 1)
+            g = got[did]
+            assert (g["n_chunks"], g["n_dup_chunks"]) == (len(cs), nd)
+            assert g["dup_chunk_frac"] == (
+                round(nd / len(cs), 6) if cs else 0.0)
+
 
 class TestSimilarity:
     def test_self_is_top1(self, emb):
