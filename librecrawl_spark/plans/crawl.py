@@ -472,6 +472,20 @@ class CrawlEngine:
             st["seen"] = seen.unionByName(
                 self._with_hash(new_frontier.select("url", "depth", "seq"))
             )
+            # Once the crawl enters the shuffle-hash regime, maintain the
+            # seen set HASH-PARTITIONED on the join key so every later
+            # wave's anti-join finds both sides co-partitioned (the
+            # keep-first aggregate partitions the candidate side) and
+            # plans ZERO Exchange — the in-memory analog of the bucketed
+            # disk layout (storage/bucketed.py, plan-asserted in
+            # tests/test_bucketing.py). The placement shuffle happens
+            # once here at checkpoint time — off the scheduling path —
+            # instead of inside every subsequent wave's join. Partition
+            # count must equal spark.sql.shuffle.partitions so
+            # EnsureRequirements accepts the existing distribution.
+            if st["next_seq"] + n_new >= 1_500_000:
+                n_shuf = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+                st["seen"] = st["seen"].repartition(n_shuf, "url")
             st["pending"] = leftover.unionByName(new_frontier)
             st["next_seq"] += n_new
             st["wave"] = wave + 1
