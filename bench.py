@@ -32,6 +32,13 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# Bump when the MEASURED wave plan changes (a plan improvement, not a
+# config tweak): the two-size fixed-cost fit in
+# scripts/probe_frontier_scaling.py is only meaningful when both cells
+# of a level come from the SAME physical plan, so a rev bump archives
+# the old probe cells and starts a fresh pool. rev 2 = seen set stored
+# hash-partitioned (the anti-join's seen-side exchange left the wave).
+FRONTIER_JOB_REV = 2
 FRONTIER_N = int(os.environ.get("BENCH_FRONTIER_N", "5000000"))
 SEEN_M = int(os.environ.get("BENCH_SEEN_M", "1000000"))
 # --scaling input is FIXED across rounds (round-1 scale: 16M candidates /

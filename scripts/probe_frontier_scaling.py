@@ -57,10 +57,14 @@ def child(cpus: int, n: int) -> None:
 
 
 def _sync_scaling_state(best: dict) -> None:
-    """The probe's 16M cells ARE the --scaling job (same function, same
-    input, same per-level protocol), so the two state files must agree —
-    per-(level, input) bests live in one pool. Seed the probe's 16M
-    cells from BENCH/scaling_state.json and write improved walls back."""
+    """The probe's 16M cells run the --scaling job (same function, same
+    input, same per-level protocol), so improvements flow INTO
+    BENCH/scaling_state.json — one-way. The pull direction was removed
+    when job revisions were introduced: scaling_state keeps all-time
+    bests across plan revisions (the accumulated-best protocol never
+    resets), while the probe pool must hold cells from the CURRENT plan
+    only, or the two-size fit mixes plan versions and produces
+    non-physical efficiencies."""
     path = f"{REPO}/BENCH/scaling_state.json"
     try:
         with open(path) as fh:
@@ -73,9 +77,7 @@ def _sync_scaling_state(best: dict) -> None:
     for cpus in LEVELS:
         fr = st["results"][str(cpus)]["frontier"]
         key = f"{cpus}:{SIZES[1]}"
-        if key not in best or fr["sec"] < best[key]:
-            best[key] = fr["sec"]
-        elif best[key] < fr["sec"]:
+        if key in best and best[key] < fr["sec"]:
             fr["sec"] = best[key]
             fr["urls_per_sec"] = round(SIZES[1] / best[key])
             changed = True
@@ -87,12 +89,27 @@ def _sync_scaling_state(best: dict) -> None:
 
 
 def main() -> None:
+    from bench import FRONTIER_JOB_REV
+
     rounds = int(os.environ.get("PROBE_ROUNDS", "3"))
     state_path = f"{REPO}/BENCH/frontier_fixed_cost.json"
     best: dict[str, float] = {}
+    archived: dict[str, dict] = {}
     if os.path.exists(state_path):
         with open(state_path) as fh:
-            best = json.load(fh).get("best_sec", {})
+            prior = json.load(fh)
+        archived = {k: v for k, v in prior.items()
+                    if k.startswith("best_sec_rev")}
+        if prior.get("job_rev", 1) == FRONTIER_JOB_REV:
+            best = prior.get("best_sec", {})
+        else:
+            # plan revision changed: archive the old pool (history stays
+            # in the file + git) and accumulate fresh same-plan cells
+            archived[f"best_sec_rev{prior.get('job_rev', 1)}"] = \
+                prior.get("best_sec", {})
+            print(f"job_rev {prior.get('job_rev', 1)} -> "
+                  f"{FRONTIER_JOB_REV}: starting a fresh probe pool",
+                  file=sys.stderr)
     _sync_scaling_state(best)
     for rd in range(rounds):
         for cpus in LEVELS:
@@ -115,7 +132,8 @@ def main() -> None:
 
     _sync_scaling_state(best)
     n1, n2 = SIZES
-    out = {"best_sec": best, "sizes": SIZES, "ts": time.time()}
+    out = {"job_rev": FRONTIER_JOB_REV, "best_sec": best, "sizes": SIZES,
+           "ts": time.time(), **archived}
     for cpus in LEVELS:
         t1, t2 = best[f"{cpus}:{n1}"], best[f"{cpus}:{n2}"]
         fixed = (n2 * t1 - n1 * t2) / (n2 - n1)
