@@ -1883,6 +1883,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               .agg(F.sum("n_chars").alias("score")))
         return crawl_budget_allocation(hs, budget=1000, cap=90)
 
+    def kw_cannibalization(spark, sf):
+        """Keyword cannibalization report (keywords.
+        keyword_cannibalization — cannibalization.py:604-860 rules) over
+        deterministic (url, title, h1, keyword) rows synthesized from
+        documents: page type from a doc_id%8 path family, keyword = the
+        doc's first-2-token bigram (small vocab -> cross-doc collisions
+        -> multi-page keyword groups). The keyword→pages index is ONE
+        hash aggregate — the reference's driver-memory dict loop.
+        risk_factors flattened to a '|' string for the hash compare."""
+        from librecrawl_spark.operators.keywords import keyword_cannibalization
+
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        toks = F.expr(r"regexp_extract_all(lower(text), '\\w+', 0)")
+        i8 = (F.col("doc_id") % 8).cast("int")
+        sid = F.col("doc_id").cast("string")
+        path = (F.when(i8 == 0, F.concat(F.lit("/?v="), sid))
+                .when(i8 == 1, F.concat(F.lit("/service/p"), sid))
+                .when(i8 == 2, F.concat(F.lit("/blog/p"), sid))
+                .when(i8 == 3, F.concat(F.lit("/team/p"), sid))
+                .when(i8 == 4, F.concat(F.lit("/reviews/p"), sid))
+                .when(i8 == 5, F.concat(F.lit("/location/p"), sid))
+                .when(i8 == 6, F.concat(F.lit("/contact/p"), sid))
+                .otherwise(F.concat(F.lit("/treatment/p"), sid)))
+        rows = d.select(
+            F.concat(F.lit("https://kw.example"), path).alias("url"),
+            F.concat_ws(" ", F.slice(toks, 1, 3)).alias("title"),
+            F.concat_ws(" ", F.slice(toks, 2, 2)).alias("h1"),
+            F.concat_ws(" ", F.slice(toks, 1, 2)).alias("keyword"),
+            ((F.col("doc_id") * 7) % 101).cast("double").alias("prominence_score"),
+            ((F.col("doc_id") % 40) / F.lit(10.0)).alias("density"),
+        )
+        return (keyword_cannibalization(rows)
+                .withColumn("risk_factors", F.concat_ws("|", "risk_factors")))
+
+    def p3_priority_wave(spark, sf):
+        """Depth/priority frontier wave cut (frontier.priority_wave_cut):
+        the 200 best pending URLs by (priority DESC, seq ASC) selected
+        via range-bucket counting — no global sort, no TakeOrdered
+        funnel; only the boundary bucket gets a window rank. The oracle
+        is the plain row_number() definition."""
+        from librecrawl_spark.operators.frontier import priority_wave_cut
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        pending = d.select(
+            F.concat(F.lit("https://q.example/p"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            F.col("doc_id").cast("long").alias("seq"),
+            ((F.col("doc_id") * 13) % 7).cast("int").alias("priority"))
+        sel, _ = priority_wave_cut(pending, budget=200)
+        return sel
+
     return {
         "a1_stats_counts": a1_stats_counts,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1981,6 +2032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_domain_mix": pipe_domain_mix,
         "t_recrawl_priority": t_recrawl_priority,
         "p2_budget_alloc": p2_budget_alloc,
+        "kw_cannibalization": kw_cannibalization,
+        "p3_priority_wave": p3_priority_wave,
     }
 
 
@@ -3905,5 +3958,150 @@ def oracle_sql() -> dict[str, str]:
                    base + CASE WHEN headroom > 0 AND rk <= leftover
                                THEN 1 ELSE 0 END AS allocated
             FROM r
+        """,
+        "kw_cannibalization": """
+            WITH tk AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t
+              FROM documents),
+            rows_ AS (
+              SELECT
+                'https://kw.example' || CASE CAST(doc_id % 8 AS INT)
+                  WHEN 0 THEN '/?v=' || CAST(doc_id AS VARCHAR)
+                  WHEN 1 THEN '/service/p' || CAST(doc_id AS VARCHAR)
+                  WHEN 2 THEN '/blog/p' || CAST(doc_id AS VARCHAR)
+                  WHEN 3 THEN '/team/p' || CAST(doc_id AS VARCHAR)
+                  WHEN 4 THEN '/reviews/p' || CAST(doc_id AS VARCHAR)
+                  WHEN 5 THEN '/location/p' || CAST(doc_id AS VARCHAR)
+                  WHEN 6 THEN '/contact/p' || CAST(doc_id AS VARCHAR)
+                  ELSE '/treatment/p' || CAST(doc_id AS VARCHAR) END AS url,
+                array_to_string(t[1:3], ' ') AS title,
+                array_to_string(t[2:3], ' ') AS h1,
+                array_to_string(t[1:2], ' ') AS kw,
+                CAST((doc_id * 7) % 101 AS DOUBLE) AS prom,
+                (doc_id % 40) / 10.0 AS dens
+              FROM tk),
+            pt AS (
+              SELECT *, CASE
+                WHEN lp IN ('/', '', '/index.html', '/home') THEN 'Homepage'
+                WHEN contains(lp,'/privacy') OR contains(lp,'/terms')
+                  OR contains(lp,'/policy') OR contains(lp,'/thank-you')
+                  OR contains(lp,'/contact') OR contains(lp,'/appointment')
+                  OR contains(lp,'/book') THEN 'System'
+                WHEN contains(lp,'/doctor/') OR contains(lp,'/dr-')
+                  OR contains(lp,'/dentist/') OR contains(lp,'/team/')
+                  OR contains(lp,'/our-team/') OR contains(lp,'/meet-')
+                  OR contains(lp,'/about-dr') OR contains(lp,'/specialist/')
+                  OR contains(lp,'/our-doctors/') OR contains(lp,'/staff/')
+                  OR contains(lp,'/hygienist/') OR contains(lp,'/orthodontist/')
+                  THEN 'Profile'
+                WHEN contains(lt,'meet dr') OR contains(lt,'about dr')
+                  OR contains(lt,'dr. ') OR contains(lt,'biography')
+                  OR contains(lt,'education') OR contains(lt,'credentials')
+                  OR contains(lt,'experience')
+                  OR contains(lh,'meet dr') OR contains(lh,'about dr')
+                  OR contains(lh,'dr. ') OR contains(lh,'biography')
+                  OR contains(lh,'education') OR contains(lh,'credentials')
+                  OR contains(lh,'experience') THEN 'Profile'
+                WHEN contains(lp,'/blog/') OR contains(lp,'/news/')
+                  OR contains(lp,'/articles/') OR contains(lp,'/post/')
+                  OR contains(lp,'/insights/') OR contains(lp,'/tips/')
+                  OR contains(lp,'/guide/') OR contains(lp,'/how-to/')
+                  OR contains(lp,'/learn/') OR contains(lp,'/education/')
+                  OR contains(lp,'/faq/') OR contains(lp,'/questions/')
+                  OR contains(lp,'/learning-center/') THEN 'Blog'
+                WHEN regexp_matches(lp, '/\\d{4}/\\d{2}/') THEN 'Blog'
+                WHEN contains(lp,'/review') OR contains(lp,'/testimonial')
+                  OR contains(lp,'/case-stud') OR contains(lp,'/patient-stor')
+                  OR contains(lp,'/success-stor') THEN 'Review'
+                WHEN contains(lp,'/location') OR contains(lp,'/directions')
+                  OR contains(lp,'/find-us') OR contains(lp,'/office')
+                  OR contains(lp,'/address') THEN 'Location'
+                ELSE 'Service' END AS page_type
+              FROM (
+                SELECT *,
+                  lower(regexp_replace(regexp_replace(url,
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
+                    '[?#].*$', '')) AS lp,
+                  lower(title) AS lt, lower(h1) AS lh
+                FROM rows_)),
+            f AS (
+              SELECT * FROM pt
+              WHERE len(string_split_regex(trim(kw), '\\s+')) BETWEEN 2 AND 5
+                AND length(trim(kw)) >= 3
+                AND NOT regexp_matches(
+                      regexp_replace(trim(kw), '[ .\\-]', '', 'g'), '^[0-9]+$')
+                AND trim(kw) NOT IN ('the','and','or','but','in','on','at',
+                                     'to','for','of','with','by','from','an',
+                                     'as','is','was','are')
+                AND (contains(lt, kw) OR contains(lh, kw))
+                AND (dens > 1.5 OR prom > 50
+                     OR (contains(lt, kw) AND contains(lh, kw)))),
+            g AS (
+              SELECT kw AS keyword, count(*) AS page_count,
+                sum(CASE WHEN page_type='Service' THEN 1 ELSE 0 END) AS n_service,
+                sum(CASE WHEN page_type='Blog' THEN 1 ELSE 0 END) AS n_blog,
+                sum(CASE WHEN page_type='Profile' THEN 1 ELSE 0 END) AS n_profile,
+                sum(CASE WHEN page_type='Review' THEN 1 ELSE 0 END) AS n_review,
+                sum(CASE WHEN page_type='Location' THEN 1 ELSE 0 END) AS n_location,
+                sum(CASE WHEN page_type='System' THEN 1 ELSE 0 END) AS n_system,
+                sum(CASE WHEN page_type='Homepage' THEN 1 ELSE 0 END) AS n_homepage,
+                sum(CASE WHEN prom > 60 THEN 1 ELSE 0 END) AS n_hi
+              FROM f GROUP BY kw HAVING count(*) >= 2),
+            prim AS (
+              SELECT kw AS keyword, url AS primary_url,
+                     page_type AS primary_type, round(prom, 2) AS primary_prominence
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY kw
+                      ORDER BY prom DESC, dens DESC, url ASC) AS rn FROM f)
+              WHERE rn = 1),
+            sev AS (
+              SELECT g.*, prim.primary_url, prim.primary_type,
+                     prim.primary_prominence,
+                CASE WHEN n_service >= 2 THEN 'high'
+                     WHEN n_service >= 1 AND n_blog >= 1 THEN 'low'
+                     WHEN n_service >= 1 AND (n_profile >= 1 OR n_review >= 1)
+                       THEN 'none'
+                     WHEN n_blog >= 2 AND n_service = 0 THEN 'medium'
+                     WHEN n_homepage >= 1 AND n_service >= 1 THEN 'none'
+                     WHEN n_service = 0 AND n_blog = 0 THEN 'none'
+                     ELSE 'none' END AS severity
+              FROM g JOIN prim USING (keyword))
+            SELECT keyword, 'Unknown' AS search_intent, severity,
+              CAST(CASE WHEN severity='high' THEN least(90, 70 + page_count*5)
+                        WHEN severity='medium' THEN least(70, 40 + page_count*5)
+                        ELSE least(50, 20 + page_count*5) END AS BIGINT)
+                AS risk_score,
+              CAST(page_count AS BIGINT) AS page_count,
+              array_to_string(list_filter([
+                CASE WHEN n_service>0 THEN CAST(n_service AS VARCHAR) || ' Service' END,
+                CASE WHEN n_blog>0 THEN CAST(n_blog AS VARCHAR) || ' Blog' END,
+                CASE WHEN n_profile>0 THEN CAST(n_profile AS VARCHAR) || ' Profile' END,
+                CASE WHEN n_review>0 THEN CAST(n_review AS VARCHAR) || ' Review' END,
+                CASE WHEN n_location>0 THEN CAST(n_location AS VARCHAR) || ' Location' END,
+                CASE WHEN n_system>0 THEN CAST(n_system AS VARCHAR) || ' System' END,
+                CASE WHEN n_homepage>0 THEN CAST(n_homepage AS VARCHAR) || ' Homepage' END
+              ], x -> x IS NOT NULL), ', ') AS page_types,
+              primary_url, primary_type, primary_prominence,
+              coalesce(array_to_string(list_filter([
+                CASE WHEN page_count >= 3
+                     THEN CAST(page_count AS VARCHAR) || ' pages competing' END,
+                CASE WHEN severity='high'
+                       THEN 'Critical Service vs Service conflict'
+                     WHEN severity='medium'
+                       THEN 'Multiple Blog posts overlap' END,
+                CASE WHEN n_hi >= 2 THEN 'Multiple pages highly optimized' END
+              ], x -> x IS NOT NULL), '|'), '') AS risk_factors
+            FROM sev WHERE severity <> 'none'
+        """,
+        "p3_priority_wave": """
+            WITH p AS (
+              SELECT 'https://q.example/p' || CAST(doc_id AS VARCHAR) AS url,
+                     CAST(doc_id AS BIGINT) AS seq,
+                     CAST((doc_id * 13) % 7 AS INT) AS priority
+              FROM documents)
+            SELECT url, seq, priority FROM (
+              SELECT *, row_number() OVER (
+                ORDER BY priority DESC, seq ASC) AS rn FROM p)
+            WHERE rn <= 200
         """,
     }

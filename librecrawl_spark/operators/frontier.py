@@ -103,6 +103,70 @@ def add_global_seq(df: DataFrame, order_cols: list[str], start: int,
     )
 
 
+def priority_wave_cut(pending: DataFrame, budget: int,
+                      priority_col: str = "priority", seq_col: str = "seq",
+                      max_priority: int = 255,
+                      n_buckets: int | None = None):
+    """Depth/priority frontier queue (north rule): select the next wave
+    as the ``budget`` best pending URLs by (priority DESC, seq ASC) —
+    highest priority first, FIFO within a priority class. The reference's
+    queue is a pure FIFO deque (link_manager.py:13,253-258); this is the
+    priority generalization the north rule names, with priority=const
+    degenerating to the engine's exact FIFO cut.
+
+    Scale strategy: never a global sort and never a driver-side top-k
+    materialization (the FIFO cut's orderBy().limit(n) plans
+    TakeOrdered, which funnels n rows through one task — fine for seq
+    thresholds, wrong for 10^8-row waves). Instead (priority, seq) packs
+    into one long; ONE aggregate gives its bounds + total; range-bucket
+    counts (<= 2*shuffle.partitions rows to the driver) locate the
+    bucket containing the budget-th row; only THAT bucket's rows get a
+    window rank for the residual quota. Exact and deterministic for
+    unique ``seq``; requires 0 <= priority <= max_priority and
+    seq < 2^40 (schedule_wave's packing already guarantees < 2^35).
+    Returns (selected, deferred).
+    """
+    assert budget >= 0
+    spark = pending.sparkSession
+    if n_buckets is None:
+        n_buckets = default_seq_buckets(spark)
+    if budget == 0:
+        return pending.limit(0), pending
+    inv = (F.lit(max_priority) - F.col(priority_col)).cast("long")
+    packed = F.shiftleft(inv, 40) + F.col(seq_col).cast("long")
+    d = pending.withColumn("_pk", packed)
+    stats = d.agg(F.min("_pk").alias("lo"), F.max("_pk").alias("hi"),
+                  F.count("*").alias("n")).collect()[0]
+    if stats["n"] == 0 or stats["n"] <= budget:
+        return d.drop("_pk"), pending.limit(0)
+    lo, hi = int(stats["lo"]), int(stats["hi"])
+    assert lo >= 0, "priority exceeds max_priority or negative seq"
+    width = max((hi - lo) // n_buckets + 1, 1)
+    bucket = ((F.col("_pk") - F.lit(lo)) / F.lit(width)).cast("long")
+    b = d.withColumn("_bkt", bucket)
+    counts = {r["_bkt"]: r["count"]
+              for r in b.groupBy("_bkt").count().collect()}
+    acc = 0
+    boundary, residual = None, 0
+    for k in sorted(counts):
+        if acc + counts[k] >= budget:
+            boundary, residual = k, budget - acc
+            break
+        acc += counts[k]
+    w = Window.partitionBy("_bkt").orderBy("_pk")
+    in_boundary = b.filter(F.col("_bkt") == boundary)
+    keep_boundary = (in_boundary
+                     .withColumn("_rk", F.row_number().over(w))
+                     .filter(F.col("_rk") <= residual).drop("_rk"))
+    selected = (b.filter(F.col("_bkt") < boundary)
+                .unionByName(keep_boundary).drop("_bkt", "_pk"))
+    deferred = (in_boundary.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") > residual).drop("_rk")
+                .unionByName(b.filter(F.col("_bkt") > boundary))
+                .drop("_bkt", "_pk"))
+    return selected, deferred
+
+
 # --------------------------------------------------------------------------
 # policy (robots + scope + extension + patterns) — Arrow UDF
 # --------------------------------------------------------------------------

@@ -1246,11 +1246,19 @@ def dup_candidate_pairs(pages: DataFrame, threshold: float = 0.85,
         # via the exploded band_id join key)
         sh = F.expr("transform(sequence(1, greatest(length(t) - 2, 1)),"
                     " i -> substr(t, i, 3))")
-        sigs = [
-            F.array_min(F.transform(
-                sh, lambda s, p=p: F.md5(F.concat(F.lit(f"{p}:"), s))))
-            for p in range(8)
-        ]
+
+        # NB: the permutation lambda must be UNARY — a two-parameter
+        # lambda (incl. the `p=p` default-arg idiom) is interpreted by
+        # Spark's transform() as (element, index), which silently binds
+        # the array index over the permutation constant; the literal then
+        # stringifies a session-counter-named lambda variable and the
+        # "deterministic" hashes drift with session history (found as an
+        # order-dependent recall flake in the full pytest suite)
+        def _perm(p: int):
+            pref = f"{p}:"
+            return lambda s: F.md5(F.concat(F.lit(pref), s))
+
+        sigs = [F.array_min(F.transform(sh, _perm(p))) for p in range(8)]
         bands_mh = [F.md5(F.concat(sigs[2 * k], sigs[2 * k + 1])) for k in range(4)]
         d = d.withColumn("mh", F.array(*bands_mh))
     # a valid pair's bands differ by at most 1 on each key, but the

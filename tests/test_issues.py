@@ -545,4 +545,20 @@ def test_dup_approx_minhash_scale_path(pages):
     approx = {(r["url_a"], r["url_b"])
               for r in I.duplicate_content_pairs(pg, approx_minhash=True).collect()}
     assert approx <= exact
+    if approx != exact:
+        # diagnostic dump: exact titles + band hashes of every page in a
+        # dropped pair, so a failure names WHICH input changed
+        urls = sorted({u for p in exact - approx for u in p})
+        sh = F.expr("transform(sequence(1, greatest(length(t) - 2, 1)),"
+                    " i -> substr(t, i, 3))")
+        mk = lambda pref: (lambda s: F.md5(F.concat(F.lit(pref), s)))  # noqa: E731
+        sigs = [F.array_min(F.transform(sh, mk(f"{p}:"))) for p in range(8)]
+        bands = [F.md5(F.concat(sigs[2 * k], sigs[2 * k + 1])) for k in range(4)]
+        rows = (pg.select("url", F.lower(F.trim(F.coalesce(
+                    "title", F.lit("")))).alias("t"))
+                .filter(F.col("url").isin(urls))
+                .withColumn("mh", F.array(*bands)).orderBy("url").collect())
+        for r in rows:
+            print(f"DROPPED {r['url']} t={r['t']!r} "
+                  f"mh={[v[:8] for v in r['mh']]}")
     assert approx == exact, f"minhash band dropped {exact - approx}"
