@@ -1,15 +1,20 @@
-"""Keyword cannibalization vs a pure-Python transcription of the
-reference rules (cannibalization.py:150-331, 604-688, 786-860)."""
+"""Keyword cannibalization + page-keyword extraction vs pure-Python
+transcriptions of the reference (cannibalization.py:150-331, 604-688,
+786-860; keyword_analyzer.py:243-412)."""
 
 from __future__ import annotations
 
 import re
-from collections import defaultdict
+from collections import Counter, defaultdict
 from urllib.parse import urlparse
 
 import pytest
 
-from librecrawl_spark.operators.keywords import keyword_cannibalization
+from librecrawl_spark.operators.keywords import (
+    ANALYZER_STOP_WORDS,
+    keyword_cannibalization,
+    page_keywords,
+)
 
 # ---------------------------------------------------------------- oracle
 
@@ -277,3 +282,132 @@ def test_page_type_branches(spark):
         detect_page_type(F.col("url"), F.col("title"), F.col("h1"))).collect()]
     want = [_ref_page_type(u, t, h) for u, t, h in cases]
     assert got == want
+
+
+# --------------------------------------------------- page_keywords oracle
+
+_STOPSET = set(ANALYZER_STOP_WORDS)
+
+
+def _ref_extract_keywords(text, min_length=3, top_n=50, include_phrases=True):
+    """keyword_analyzer.py:243-330, verbatim transcription."""
+    words = re.findall(r"\b\w+\b", text.lower())
+    total_words = len(words)
+    if total_words == 0:
+        return [], 0
+    filtered = [w for w in words
+                if w not in _STOPSET and len(w) >= min_length
+                and not w.isdigit()]
+    word_counts = Counter(filtered)
+    phrase_counts = Counter()
+    if include_phrases and len(words) > 2:
+        for i in range(len(words) - 1):
+            if (words[i] not in _STOPSET and words[i + 1] not in _STOPSET
+                    and len(words[i]) >= min_length
+                    and len(words[i + 1]) >= min_length):
+                phrase_counts[f"{words[i]} {words[i+1]}"] += 1
+        for i in range(len(words) - 2):
+            if (words[i] not in _STOPSET and words[i + 2] not in _STOPSET
+                    and len(words[i]) >= min_length
+                    and len(words[i + 2]) >= min_length):
+                phrase_counts[f"{words[i]} {words[i+1]} {words[i+2]}"] += 1
+    all_keywords = []
+    for word, count in word_counts.most_common(top_n * 2):
+        all_keywords.append({"keyword": word, "frequency": count,
+                             "density": round(count / total_words * 100, 2),
+                             "type": "word"})
+    if include_phrases:
+        for phrase, count in phrase_counts.most_common(top_n):
+            if count >= 2:
+                all_keywords.append(
+                    {"keyword": phrase, "frequency": count,
+                     "density": round(count / total_words * 100, 2),
+                     "type": "phrase"})
+    all_keywords.sort(key=lambda x: x["frequency"], reverse=True)
+    return all_keywords[:top_n], total_words
+
+
+def _ref_page_keywords(url, text, title, meta, heads,
+                       min_length=3, top_n=50):
+    """analyze_title/heading/placement (keyword_analyzer.py:333-412)."""
+    kws, _ = _ref_extract_keywords(text, min_length, top_n)
+    title_l, meta_l = title.lower(), meta.lower()
+    heads_l = heads.lower()
+    body = text
+    words = body.split()
+    first = " ".join(words[:200]).lower() if len(words) > 200 else body.lower()
+    last = " ".join(words[-100:]).lower() if len(words) > 100 else body.lower()
+    out = []
+    for rank, kw in enumerate(kws, 1):
+        k = kw["keyword"]
+        it, ih = k in title_l, k in heads_l
+        ifp, im, ic = k in first, k in meta_l, k in last
+        prom = min(100, 30 * it + 25 * ih + 20 * ifp + 15 * im + 10 * ic)
+        out.append((url, k, kw["frequency"], kw["density"], kw["type"],
+                    it, ih, ifp, im, ic, prom, rank))
+    return out
+
+
+_PK_PAGES = [
+    # repeated words + phrases, ties between word and phrase freqs
+    ("https://k.example/a",
+     "solar panel cost solar panel cost solar panel savings guide "
+     "the cost of a solar panel install is high and the install is slow",
+     "Solar panel cost guide", "best solar panel cost data",
+     "solar install"),
+    # stop words, digits, short words filtered; 2-word page quirk
+    ("https://k.example/b", "go 42 ab solar", "t", "m", ""),
+    ("https://k.example/c", "alpha beta", "alpha", "", ""),   # 2 words: no phrases
+    # > 200 words: first-paragraph window engages
+    ("https://k.example/d",
+     " ".join(f"w{i % 7} filler" for i in range(150)) + " anchor keyword near end",
+     "anchor keyword", "", "filler w1"),
+    ("https://k.example/e", "", "t", "m", ""),                # empty text: no rows
+]
+
+
+def test_page_keywords_matches_analyzer_transcription(spark):
+    df = spark.createDataFrame(
+        _PK_PAGES,
+        "url string, text string, title string, meta_description string, "
+        "headings_text string")
+    got = sorted(
+        (tuple(r) for r in page_keywords(
+            df, headings_text_col="headings_text", top_n=12).collect()),
+        key=lambda t: (t[0], t[11]))
+    want = []
+    for url, text, title, meta, heads in _PK_PAGES:
+        want.extend(_ref_page_keywords(url, text, title, meta, heads, top_n=12))
+    want.sort(key=lambda t: (t[0], t[11]))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g == w, (g, w)
+    # coverage sanity: phrases present, ties exercised, >200-word page in
+    urls = {t[0] for t in want}
+    assert "https://k.example/d" in urls
+    assert any(t[4] == "phrase" for t in want)
+    assert not any(t[0] == "https://k.example/e" for t in want)
+
+
+def test_page_keywords_feeds_cannibalization(spark):
+    """End-to-end §2.10 pipeline: analyzer output drives the
+    cannibalization detector's input contract."""
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame(
+        [("https://k.example/service/x",
+          "solar panel cost solar panel cost more",
+          "solar panel cost", "solar panel", ""),
+         ("https://k.example/treatment/y",
+          "solar panel cost solar panel cost less",
+          "solar panel cost plans", "solar panel", "")],
+        "url string, text string, title string, meta_description string, "
+        "headings_text string")
+    kws = page_keywords(df, headings_text_col="headings_text", top_n=10)
+    rows = (kws.join(df.select("url", "title",
+                               F.lit("").alias("h1")), "url")
+            .select("url", "title", "h1", "keyword",
+                    F.col("prominence_score").cast("double")
+                    .alias("prominence_score"), "density"))
+    out = keyword_cannibalization(rows)
+    hit = out.filter(F.col("keyword") == "solar panel cost").collect()
+    assert len(hit) == 1 and hit[0]["severity"] == "high"
