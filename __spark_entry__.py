@@ -1917,6 +1917,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (keyword_cannibalization(rows)
                 .withColumn("risk_factors", F.concat_ws("|", "risk_factors")))
 
+    def kw_page_keywords(spark, sf):
+        """Per-page keyword extraction + prominence scoring (keywords.
+        page_keywords — keyword_analyzer.py:243-412: singles cut to
+        2*top_n, 2/3-gram phrase counter cut then freq>=2, stable final
+        rank word-before-phrase, placement windows, weighted prominence)
+        over pages synthesized from documents: title = tokens 1-3,
+        meta = 2-4, headings = 4-6 of the lowered text. The oracle
+        replays every tie order with explicit row_number keys."""
+        from librecrawl_spark.operators.keywords import page_keywords
+
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        toks = F.expr(r"regexp_extract_all(lower(text), '\\w+', 0)")
+        pages = d.select(
+            F.concat(F.lit("https://kwp.example/p"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            "text",
+            F.concat_ws(" ", F.slice(toks, 1, 3)).alias("title"),
+            F.concat_ws(" ", F.slice(toks, 2, 3)).alias("meta_description"),
+            F.concat_ws(" ", F.slice(toks, 4, 3)).alias("headings_text"),
+        )
+        return page_keywords(pages, headings_text_col="headings_text",
+                             top_n=10)
+
     def p3_priority_wave(spark, sf):
         """Depth/priority frontier wave cut (frontier.priority_wave_cut):
         the 200 best pending URLs by (priority DESC, seq ASC) selected
@@ -2033,6 +2056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_recrawl_priority": t_recrawl_priority,
         "p2_budget_alloc": p2_budget_alloc,
         "kw_cannibalization": kw_cannibalization,
+        "kw_page_keywords": kw_page_keywords,
         "p3_priority_wave": p3_priority_wave,
     }
 
@@ -2375,7 +2399,14 @@ def _pii_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from librecrawl_spark.operators.keywords import ANALYZER_STOP_WORDS
     from librecrawl_spark.operators.pipeline import _rate_threshold as _thr
+
+    kw_stop = ", ".join("'" + w + "'" for w in ANALYZER_STOP_WORDS)
+
+    def _kwpass(c: str) -> str:
+        # page_keywords' stop/length gate (keyword_analyzer.py:258-264)
+        return f"{c} NOT IN ({kw_stop}) AND length({c}) >= 3"
 
     toks = r"regexp_extract_all(text, '\w+')"
     toks_l = r"regexp_extract_all(lower(text), '\w+')"
@@ -4092,6 +4123,92 @@ def oracle_sql() -> dict[str, str]:
                 CASE WHEN n_hi >= 2 THEN 'Multiple pages highly optimized' END
               ], x -> x IS NOT NULL), '|'), '') AS risk_factors
             FROM sev WHERE severity <> 'none'
+        """,
+        "kw_page_keywords": f"""
+            WITH base AS (
+              SELECT 'https://kwp.example/p' || CAST(doc_id AS VARCHAR) AS url,
+                     lower(text) AS body,
+                     regexp_extract_all(lower(text), '\\w+') AS w,
+                     array_to_string(regexp_extract_all(lower(text), '\\w+')[1:3], ' ') AS title,
+                     array_to_string(regexp_extract_all(lower(text), '\\w+')[2:4], ' ') AS meta,
+                     array_to_string(regexp_extract_all(lower(text), '\\w+')[4:6], ' ') AS heads
+              FROM documents
+              WHERE len(regexp_extract_all(lower(text), '\\w+')) > 0),
+            tok AS (
+              SELECT url, total, unnest(w) AS kw,
+                     unnest(range(1, total + 1)) AS pos
+              FROM (SELECT url, w, len(w) AS total FROM base)),
+            lead2 AS (
+              SELECT url, total, kw, pos,
+                     lead(kw, 1) OVER (PARTITION BY url ORDER BY pos) AS w1,
+                     lead(kw, 2) OVER (PARTITION BY url ORDER BY pos) AS w2
+              FROM tok),
+            singles AS (
+              SELECT url, kw, count(*) AS freq, min(pos) AS fp,
+                     any_value(total) AS total, 0 AS blk, 0 AS is3
+              FROM tok
+              WHERE {_kwpass('kw')} AND NOT regexp_matches(kw, '^[0-9]+$')
+              GROUP BY url, kw),
+            singles_cut AS (
+              SELECT url, kw, freq, fp, total, blk, is3 FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY url ORDER BY freq DESC, fp ASC) AS r
+                FROM singles) WHERE r <= 20),
+            p2 AS (
+              SELECT url, total, 0 AS is3, kw || ' ' || w1 AS kw2, pos
+              FROM lead2 WHERE total > 2 AND w1 IS NOT NULL
+                AND {_kwpass('kw')} AND {_kwpass('w1')}),
+            p3 AS (
+              SELECT url, total, 1 AS is3,
+                     kw || ' ' || w1 || ' ' || w2 AS kw2, pos
+              FROM lead2 WHERE total > 2 AND w2 IS NOT NULL
+                AND {_kwpass('kw')} AND {_kwpass('w2')}),
+            phr AS (
+              SELECT url, kw2 AS kw, count(*) AS freq, min(pos) AS fp,
+                     any_value(total) AS total, 1 AS blk,
+                     any_value(is3) AS is3
+              FROM (SELECT * FROM p2 UNION ALL SELECT * FROM p3)
+              GROUP BY url, kw2),
+            phr_cut AS (
+              SELECT url, kw, freq, fp, total, blk, is3 FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY url ORDER BY freq DESC, is3 ASC, fp ASC) AS r
+                FROM phr) WHERE r <= 10 AND freq >= 2),
+            ranked AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY url
+                  ORDER BY freq DESC, blk ASC, is3 ASC, fp ASC) AS rnk
+                FROM (SELECT * FROM singles_cut
+                      UNION ALL SELECT * FROM phr_cut))
+              WHERE rnk <= 10),
+            scal AS (
+              SELECT url, title, meta, heads,
+                CASE WHEN len(ws) > 200
+                     THEN array_to_string(ws[1:200], ' ') ELSE body END AS first_p,
+                CASE WHEN len(ws) > 100
+                     THEN array_to_string(ws[len(ws)-99:len(ws)], ' ')
+                     ELSE body END AS last_p
+              FROM (SELECT url, title, meta, heads, body,
+                      list_filter(string_split_regex(body, '\\s+'),
+                                  x -> x <> '') AS ws
+                    FROM base))
+            SELECT r.url, r.kw AS keyword, CAST(r.freq AS BIGINT) AS frequency,
+              round(r.freq / CAST(r.total AS DOUBLE) * 100, 2) AS density,
+              CASE WHEN r.blk = 0 THEN 'word' ELSE 'phrase' END AS kw_type,
+              contains(s.title, r.kw) AS in_title,
+              contains(s.heads, r.kw) AS in_headings,
+              contains(s.first_p, r.kw) AS in_first_paragraph,
+              contains(s.meta, r.kw) AS in_meta,
+              contains(s.last_p, r.kw) AS in_conclusion,
+              CAST(least(100,
+                30 * CAST(contains(s.title, r.kw) AS INT)
+                + 25 * CAST(contains(s.heads, r.kw) AS INT)
+                + 20 * CAST(contains(s.first_p, r.kw) AS INT)
+                + 15 * CAST(contains(s.meta, r.kw) AS INT)
+                + 10 * CAST(contains(s.last_p, r.kw) AS INT)) AS INT)
+                AS prominence_score,
+              CAST(r.rnk AS INT) AS "rank"
+            FROM ranked r JOIN scal s USING (url)
         """,
         "p3_priority_wave": """
             WITH p AS (
