@@ -135,7 +135,8 @@ def bench_frontier_schedule(spark, n: int = FRONTIER_N, m: int = SEEN_M) -> dict
             host_rules=host_rules,
         )
         new_frontier = new_frontier.persist()
-        selected, deferred = FR.apply_politeness(new_frontier, hosts, cfg.wave_seconds)
+        selected, deferred = FR.apply_politeness(
+            new_frontier, hosts, cfg.wave_seconds, seq_bounds=(0, n - 1))
         n_sched = selected.count()
         elapsed = min(elapsed, time.time() - t0)
         new_frontier.unpersist()

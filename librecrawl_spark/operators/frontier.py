@@ -1064,35 +1064,114 @@ def host_of(url_col):
 
 
 def apply_politeness(eligible: DataFrame, hosts: DataFrame,
-                     wave_seconds: float) -> tuple[DataFrame, DataFrame]:
+                     wave_seconds: float,
+                     seq_bounds: tuple[int, int] | None = None,
+                     n_buckets: int | None = None,
+                     host_col: str | None = None,
+                     mode: str = "window") -> tuple[DataFrame, DataFrame]:
     """Per-host per-wave fetch quota: a host with crawl-delay d gets
     floor(wave_seconds/d) fetch slots this wave (>=1); overflow rows are
     deferred to the next wave preserving their seq (FIFO within host).
     This is the batch re-expression of the reference's token-bucket
     pacing (rate_limiter.py:24-38) made per-host, as the north rule
-    requires. Returns (selected, deferred)."""
-    e = eligible.withColumn("host", host_of(F.col("url")))
-    e = e.join(F.broadcast(hosts.select("host", "crawl_delay")), "host", "left").fillna(
-        {"crawl_delay": 0.0}
-    )
+    requires. Returns (selected, deferred).
+
+    Two physical plans, row-identical (asserted by tests/test_priority
+    .py::test_politeness_matches_naive_window), chosen by ``mode``:
+
+    ``mode="window"`` (default): one host-keyed exchange, row_number
+    per host, rank <= budget. Zero-delay hosts bypass the window, so
+    the hot *unlimited* host never serializes; each rate-limited host's
+    rows sort in one task. Measured the better plan when rate-limited
+    volume is spread over many hosts (the sort parallelizes with
+    cores; the bucket plan's extra scans are memory-bandwidth-bound).
+
+    ``mode="bucket"``: the skew path — when a single RATE-LIMITED host
+    dominates the wave, the window plan sorts that host's entire row
+    set in one task to keep its first `budget` rows; this plan instead
+    locates the cut with aggregates and ranks only the rows straddling
+    it:
+
+    1. bucket rows by disjoint `seq` ranges (seq is the wave-unique
+       FIFO key, so bucket order IS host-local rank order);
+    2. per (host, bucket) counts — a map-side-combinable hash
+       aggregate, shuffling one row per group, never per input row;
+    3. per host, the single bucket containing its budget-th row falls
+       out of a cumulative sum over that tiny frame;
+    4. the per-host verdict (<= one row per host) broadcasts back: rows
+       in buckets before the cut are selected, after it deferred — no
+       row exchange at all — and ONLY boundary-bucket rows (about
+       host_rows/n_buckets per host) take the exact row_number window.
+       No task ever sorts more than one host's slice of one bucket.
+
+    ``seq_bounds``: optional (lo, hi) bounds of the wave's seq values —
+    callers that assigned the seq this wave know them; without the hint
+    one extra map-side min/max aggregate derives them in the same DAG
+    (scalar-subquery style, no driver action). ``host_col``: name of a
+    precomputed host column to use instead of re-deriving it from the
+    URL (it stays in the output columns)."""
+    cols = list(eligible.columns)
+    e = eligible.withColumn(
+        "_h", F.col(host_col) if host_col else host_of(F.col("url")))
+    e = e.join(
+        F.broadcast(hosts.select(F.col("host").alias("_h"), "crawl_delay")),
+        "_h", "left",
+    ).fillna({"crawl_delay": 0.0})
     # hosts without a crawl-delay have unlimited budget — they skip the
-    # per-host ranking window entirely (hot zero-delay hosts would
-    # otherwise serialize in a single window task)
-    unlimited = e.filter(F.col("crawl_delay") <= 0).drop("crawl_delay", "host")
+    # quota machinery entirely
+    unlimited = e.filter(F.col("crawl_delay") <= 0).select(*cols)
     limited = e.filter(F.col("crawl_delay") > 0)
-    budget = F.greatest(F.floor(F.lit(wave_seconds) / F.col("crawl_delay")), F.lit(1))
-    w_host = Window.partitionBy("host").orderBy("seq")
-    limited = limited.withColumn("_hrank", F.row_number().over(w_host)).withColumn(
-        "_budget", budget
+    budget = F.greatest(
+        F.floor(F.lit(wave_seconds) / F.col("crawl_delay")), F.lit(1)
+    ).cast("long")
+    limited = limited.withColumn("_budget", budget).drop("crawl_delay")
+    if mode == "window":
+        w_host = Window.partitionBy("_h").orderBy("seq")
+        ranked = limited.withColumn("_hrank", F.row_number().over(w_host))
+        selected = unlimited.unionByName(
+            ranked.filter(F.col("_hrank") <= F.col("_budget")).select(*cols))
+        deferred = ranked.filter(F.col("_hrank") > F.col("_budget")).select(*cols)
+        return selected, deferred
+    if seq_bounds is not None:
+        lo_c = F.lit(int(seq_bounds[0]))
+        hi_c = F.lit(int(seq_bounds[1]))
+    else:
+        bounds = limited.agg(F.min("seq").alias("_lo"), F.max("seq").alias("_hi"))
+        limited = limited.crossJoin(F.broadcast(bounds))
+        lo_c, hi_c = F.col("_lo"), F.col("_hi")
+    nb = n_buckets or default_seq_buckets(eligible.sparkSession) * 8
+    width = F.greatest(
+        F.floor((hi_c - lo_c + F.lit(1)) / F.lit(nb)), F.lit(1)
+    ).cast("long")
+    limited = limited.withColumn(
+        "_b", F.floor((F.col("seq") - lo_c) / width).cast("long"))
+    # per-(host, bucket) counts; cumulative over the (tiny) group frame
+    gb = limited.groupBy("_h", "_b").agg(
+        F.count("*").alias("_cnt"), F.first("_budget").alias("_budget"))
+    w_cum = (Window.partitionBy("_h").orderBy("_b")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    gb = gb.withColumn("_before", F.coalesce(F.sum("_cnt").over(w_cum), F.lit(0)))
+    # per-host verdict (one row per host): _cut_b = first bucket not
+    # fully inside the budget (_before + _cnt > budget); NULL for hosts
+    # whose total fits the budget (every bucket's cumulative count stays
+    # <= total <= budget). _before is monotone in _b, so min() pairs the
+    # cut bucket with its own prefix count.
+    crosses = F.col("_before") + F.col("_cnt") > F.col("_budget")
+    verdict = gb.groupBy("_h").agg(
+        F.first("_budget").alias("_budget"),
+        F.min(F.when(crosses, F.col("_b"))).alias("_cut_b"),
+        F.min(F.when(crosses, F.col("_before"))).alias("_cut_before"),
     )
-    selected = unlimited.unionByName(
-        limited.filter(F.col("_hrank") <= F.col("_budget")).drop(
-            "_hrank", "_budget", "crawl_delay", "host"
-        )
-    )
-    deferred = limited.filter(F.col("_hrank") > F.col("_budget")).drop(
-        "_hrank", "_budget", "crawl_delay", "host"
-    )
+    j = limited.drop("_budget").join(F.broadcast(verdict), "_h")
+    under = F.col("_cut_b").isNull()
+    pass_rows = j.filter(under | (F.col("_b") < F.col("_cut_b"))).select(*cols)
+    defer_rows = j.filter(~under & (F.col("_b") > F.col("_cut_b"))).select(*cols)
+    bnd = j.filter(~under & (F.col("_b") == F.col("_cut_b"))).withColumn(
+        "_r", F.row_number().over(Window.partitionBy("_h", "_b").orderBy("seq")))
+    keep_bnd = F.col("_r") <= F.col("_budget") - F.col("_cut_before")
+    selected = unlimited.unionByName(pass_rows).unionByName(
+        bnd.filter(keep_bnd).select(*cols))
+    deferred = defer_rows.unionByName(bnd.filter(~keep_bnd).select(*cols))
     return selected, deferred
 
 

@@ -373,7 +373,8 @@ class CrawlEngine:
 
             if self.politeness:
                 fetch_set, deferred = FR.apply_politeness(
-                    fetch_set, self.hosts, cfg.wave_seconds
+                    fetch_set, self.hosts, cfg.wave_seconds,
+                    seq_bounds=(0, int(cut_seq)),
                 )
                 leftover = leftover.unionByName(deferred)
 
