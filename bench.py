@@ -346,8 +346,13 @@ def _marginal_summary(ceiling: float) -> str:
                          ("extract", "extract_fixed_cost.json")):
         try:
             with open(f"{REPO}/BENCH/{fname}") as fh:
-                eff = json.load(fh)["marginal_eff"]
+                fc = json.load(fh)
+                eff = fc["marginal_eff"]
         except (OSError, ValueError, KeyError):
+            continue
+        if fc.get("undersampled"):
+            parts.append(f"{stage} fixed-cost pool still converging "
+                         "(fresh plan revision, see section below)")
             continue
         parts.append(f"{stage} marginal eff {eff:.2f} raw / "
                      f"{eff / ceiling:.2f} normalized")
@@ -363,6 +368,23 @@ def _frontier_fixed_cost_section() -> str:
             fc = json.load(fh)
     except (OSError, ValueError):
         return ""
+    if fc.get("undersampled"):
+        prev = next((fc[k] for k in sorted(fc, reverse=True)
+                     if k.startswith("best_sec_rev")), None)
+        prev_note = (f" Archived previous-revision cells: {prev}."
+                     if prev else "")
+        return f"""
+## Frontier stage: fixed-cost decomposition (pool converging)
+
+The measured wave plan changed this round (job_rev {fc['job_rev']}),
+so the two-size probe pool restarted; its current per-cell bests
+({fc['best_sec']}) all come from the post-bump noise windows sampled
+so far and produce a physically impossible fit (e.g. super-linear
+marginal scaling), so no decomposition is published yet — re-running
+`scripts/probe_frontier_scaling.py` accumulates bests until the fit is
+sane (the `undersampled` flag in BENCH/frontier_fixed_cost.json clears
+itself).{prev_note}
+"""
     return f"""
 ## Frontier stage: fixed-cost decomposition
 
@@ -399,6 +421,15 @@ def _extract_fixed_cost_section() -> str:
             fc = json.load(fh)
     except (OSError, ValueError):
         return ""
+    if fc.get("undersampled"):
+        return f"""
+## Extract stage: fixed-cost decomposition (pool converging)
+
+The probe pool restarted (plan revision) and its current cells
+({fc['best_sec']}) produce a physically impossible fit; no
+decomposition is published until re-runs of
+`scripts/probe_extract_scaling.py` accumulate a sane pool.
+"""
     return f"""
 ## Extract stage: fixed-cost decomposition (named culprit)
 

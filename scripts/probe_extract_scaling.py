@@ -119,6 +119,14 @@ def main() -> None:
     out["naive_eff_200k"] = round(
         (best[f"32:{n1}"] and (best[f"8:{n1}"] / best[f"32:{n1}"])) / 4, 3)
     out["marginal_eff"] = round((r32 / r8) / 4, 3)
+    # same pool-quality flag as probe_frontier_scaling: a fresh pool
+    # sampled only in one noisy window can yield a physically
+    # impossible fit; flag it so the renderer withholds the section
+    out["undersampled"] = bool(
+        out["marginal_eff"] > 1.0
+        or out["fixed_sec_32"] > out["fixed_sec_8"] * 1.5
+        or any(out[f"fixed_sec_{c}"] < 0 for c in LEVELS)
+    )
     with open(state_path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out, indent=1))

@@ -145,6 +145,17 @@ def main() -> None:
     out["naive_eff_16m"] = round(
         (best[f"8:{n2}"] / best[f"32:{n2}"]) / 4, 3)
     out["marginal_eff"] = round((r32 / r8) / 4, 3)
+    # pool-quality flag: a fresh (post-rev-bump) pool whose cells all
+    # came from one noisy window can produce a physically impossible fit
+    # (super-linear marginal scaling, or a per-job constant that grows
+    # with cores past any plausible scheduling overhead). Mark it so the
+    # BASELINE.md renderer reports the pool as still converging instead
+    # of publishing a degenerate decomposition.
+    out["undersampled"] = bool(
+        out["marginal_eff"] > 1.0
+        or out["fixed_sec_32"] > out["fixed_sec_8"] * 1.5
+        or any(out[f"fixed_sec_{c}"] < 0 for c in LEVELS)
+    )
     with open(state_path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out, indent=1))
