@@ -624,6 +624,7 @@ single runs are meaningless under this host's noise):
 | r4: AQE coalesce minPartitionSize 1MB -> 64k (session.py default) | AQE sizes on COMPRESSED shuffle bytes, so text-heavy Arrow-UDF stages coalesced to half the cores; parallelismFirst's totalSize/parallelism target now wins: extract UDF stage 16 -> 48 partitions at local[32], 4N best 39.6k -> 41.6k docs/s (46k measured same-window) |
 | r4: eager localCheckpoint in iterative ops (connected components, sitemap loop) | pointer-jumping lineage doubled per round (2^rounds plan -> planner OOM); checkpoint keeps the plan O(1)-deep and parses each sitemap body once |
 | r4: href-derivation memo in the extract span walk + tuple row assembly | urljoin/urlparse were ~40% of the walk's profile and nav/footer hrefs repeat per host — memo keyed by (join base, href); rows built as schema-ordered tuples instead of 50-key dicts (~2x cheaper frame build): extract marginal 54.6k -> 87.1k docs/s at 4N (marginal eff 0.55 -> 0.77) |
+| r4: politeness bucket-cut plan (mode="bucket") measured, kept NON-default | locates each limited host's budget cut via (host, seq-bucket) counts + broadcast verdict so no task sorts more than one host's bucket slice — but at the bench shape (limited volume spread over 750 hosts) its extra broadcast-join scans are memory-bandwidth-bound (flat 8->32: 8.7s->7.7s) while the default window's sort parallelizes (13.6s->6.1s same-session A/B); kept as the documented skew path for waves where one RATE-LIMITED host dominates |
 
 On a real 4N-executor cluster — where added executors bring their own
 memory bandwidth and local disks — the calibration ceiling is ~1.0, so

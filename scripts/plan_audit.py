@@ -57,6 +57,10 @@ AUDITED = [
     "q9_product_profit",      # star join, integer-exact money agg
     "t_recrawl_priority",     # single hash agg + row-local ln math
     "p2_budget_alloc",        # host-level window after 1-row broadcast
+    "dedup_chunks",           # per-(doc,chunk-hash) counts, no hash window
+    "kw_page_keywords",       # explode -> two hash aggs -> per-doc top-k
+    "kw_cannibalization",     # keyword self-join over per-page top terms
+    "p3_priority_wave",       # bucket-counted priority cut, no global sort
 ]
 
 RED_FLAGS = ("BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin")
