@@ -371,16 +371,38 @@ def _frontier_fixed_cost_section() -> str:
     if fc.get("undersampled"):
         prev = next((fc[k] for k in sorted(fc, reverse=True)
                      if k.startswith("best_sec_rev")), None)
-        prev_note = (f" Archived previous-revision cells: {prev}."
-                     if prev else "")
+        prev_note = ""
+        if prev:
+            # recompute the archived revision's (converged) fit so the
+            # last-known-good decomposition stays visible while the new
+            # pool converges
+            n1, n2 = fc["sizes"]
+            rows = []
+            effs = {}
+            for c in (8, 32):
+                t1, t2 = prev[f"{c}:{n1}"], prev[f"{c}:{n2}"]
+                fixed = (n2 * t1 - n1 * t2) / (n2 - n1)
+                rate = (n2 - n1) / (t2 - t1)
+                effs[c] = rate
+                rows.append(f"| local[{c}] | {fixed:.2f} | {rate:,.0f} |")
+            prev_note = (
+                "\n\nLast-known-good decomposition (previous plan "
+                "revision's converged pool, cells "
+                f"{prev}):\n\n"
+                "| level | fixed sec/job | marginal URLs/sec |\n|---|---|---|\n"
+                + "\n".join(rows)
+                + f"\n\nprevious-revision marginal eff: "
+                  f"{(effs[32] / effs[8]) / 4:.2f} raw."
+            )
         return f"""
 ## Frontier stage: fixed-cost decomposition (pool converging)
 
 The measured wave plan changed this round (job_rev {fc['job_rev']}),
 so the two-size probe pool restarted; its current per-cell bests
 ({fc['best_sec']}) all come from the post-bump noise windows sampled
-so far and produce a physically impossible fit (e.g. super-linear
-marginal scaling), so no decomposition is published yet — re-running
+so far and produce an implausible fit (super-linear marginal
+scaling, or a per-job constant growing sharply with cores), so no
+decomposition is published yet — re-running
 `scripts/probe_frontier_scaling.py` accumulates bests until the fit is
 sane (the `undersampled` flag in BENCH/frontier_fixed_cost.json clears
 itself).{prev_note}
