@@ -368,7 +368,7 @@ def _frontier_fixed_cost_section() -> str:
             fc = json.load(fh)
     except (OSError, ValueError):
         return ""
-    if fc.get("undersampled"):
+    if fc.get("undersampled") or fc.get("partial"):
         prev = next((fc[k] for k in sorted(fc, reverse=True)
                      if k.startswith("best_sec_rev")), None)
         prev_note = ""

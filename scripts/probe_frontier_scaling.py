@@ -129,6 +129,15 @@ def main() -> None:
                 print(f"round {rd} local[{cpus}] n={n}: {r['sec']}s "
                       f"({r['urls_per_sec']:,}/s) best={best[key]}s",
                       file=sys.stderr)
+                # crash-safe: bank the pool after every cell so a killed
+                # or timed-out run never loses the cells it already paid
+                # for (the fit fields are recomputed at the end; a
+                # partial file carries only job_rev + cells)
+                with open(state_path, "w") as fh:
+                    json.dump({"job_rev": FRONTIER_JOB_REV,
+                               "best_sec": best, "sizes": SIZES,
+                               "ts": time.time(), "partial": True,
+                               **archived}, fh, indent=1)
 
     _sync_scaling_state(best)
     n1, n2 = SIZES
