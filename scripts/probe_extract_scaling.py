@@ -121,11 +121,14 @@ def main() -> None:
     out["marginal_eff"] = round((r32 / r8) / 4, 3)
     # same pool-quality flag as probe_frontier_scaling: a fresh pool
     # sampled only in one noisy window can yield a physically
-    # impossible fit; flag it so the renderer withholds the section
+    # impossible fit (super-linear marginal scaling, negative fitted
+    # constant, larger input faster than smaller); flag it so the
+    # renderer withholds the section. A constant merely growing with
+    # cores is NOT flagged (task-scheduling work tracks task count).
     out["undersampled"] = bool(
-        out["marginal_eff"] > 1.0
-        or out["fixed_sec_32"] > out["fixed_sec_8"] * 1.5
+        out["marginal_eff"] > 1.05
         or any(out[f"fixed_sec_{c}"] < 0 for c in LEVELS)
+        or any(best[f"{c}:{n2}"] <= best[f"{c}:{n1}"] for c in LEVELS)
     )
     with open(state_path, "w") as fh:
         json.dump(out, fh, indent=1)

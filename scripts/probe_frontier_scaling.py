@@ -155,15 +155,18 @@ def main() -> None:
         (best[f"8:{n2}"] / best[f"32:{n2}"]) / 4, 3)
     out["marginal_eff"] = round((r32 / r8) / 4, 3)
     # pool-quality flag: a fresh (post-rev-bump) pool whose cells all
-    # came from one noisy window can produce a physically impossible fit
-    # (super-linear marginal scaling, or a per-job constant that grows
-    # with cores past any plausible scheduling overhead). Mark it so the
-    # BASELINE.md renderer reports the pool as still converging instead
-    # of publishing a degenerate decomposition.
+    # came from one noisy window can produce a physically impossible
+    # fit. Impossible means super-linear marginal scaling (>4x from
+    # 4x cores, small tolerance for cell noise), a negative fitted
+    # constant, or a level whose larger input measured FASTER than its
+    # smaller one. A per-job constant that merely grows with cores is
+    # NOT flagged — per-stage task-scheduling work is proportional to
+    # task count (shuffle partitions = 2x cores here), so the 4N level
+    # legitimately carries more per-job overhead.
     out["undersampled"] = bool(
-        out["marginal_eff"] > 1.0
-        or out["fixed_sec_32"] > out["fixed_sec_8"] * 1.5
+        out["marginal_eff"] > 1.05
         or any(out[f"fixed_sec_{c}"] < 0 for c in LEVELS)
+        or any(best[f"{c}:{n2}"] <= best[f"{c}:{n1}"] for c in LEVELS)
     )
     with open(state_path, "w") as fh:
         json.dump(out, fh, indent=1)
