@@ -1957,6 +1957,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sel, _ = priority_wave_cut(pending, budget=200)
         return sel
 
+    def sk_kmv_distinct(spark, sf):
+        """K-minimum-values distinct-count sketch (operators/sketch.py)
+        over lineitem.l_orderkey — the engine-portable cardinality
+        estimator for the 10^10-URL seen set (Spark's HLL sketch is
+        engine-private; KMV's k-th order statistic is bit-identical in
+        any engine, so the DuckDB twin replays the estimate exactly)."""
+        from librecrawl_spark.operators.sketch import kmv_distinct
+
+        return kmv_distinct(_t(spark, sf, "lineitem"), "l_orderkey", k=512)
+
+    def graph_bfs_dist(spark, sf):
+        """Multi-source BFS link distance (operators/graph.py:
+        bfs_distances, max 4 hops) over the same synthetic doc_id link
+        graph the pagerank pair uses; seeds = every 97th doc. The
+        oracle is a DuckDB recursive CTE with a min(dist) rollup."""
+        from librecrawl_spark.operators.graph import bfs_distances
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        n = d.count()
+        i = F.col("doc_id")
+        e1 = d.select(i.alias("src"), ((i * 7 + 1) % n).alias("dst"))
+        e2 = d.select(i.alias("src"), ((i * 13 + 3) % n).alias("dst"))
+        e3 = (d.filter(i % 5 != 0)
+              .select(i.alias("src"), ((i * 3 + 11) % n).alias("dst")))
+        edges = (e1.unionByName(e2).unionByName(e3)
+                 .filter(F.col("src") % 17 != 0))
+        seeds = d.filter(i % 97 == 0).select(i.alias("node"))
+        return bfs_distances(edges, seeds, max_hops=4)
+
+    def text_unigram_lm(spark, sf):
+        """Self-trained unigram LM fluency score per document
+        (operators/text.py:unigram_logprob) — the cheap KenLM-style
+        perplexity gate of a corpus build; shares the \\w+ token
+        definition with token_count/tfidf."""
+        from librecrawl_spark.operators.text import unigram_logprob
+
+        return unigram_logprob(_t(spark, sf, "documents"))
+
     return {
         "a1_stats_counts": a1_stats_counts,
         "q3_shipping_priority": q3_shipping_priority,
@@ -2058,6 +2096,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_cannibalization": kw_cannibalization,
         "kw_page_keywords": kw_page_keywords,
         "p3_priority_wave": p3_priority_wave,
+        "sk_kmv_distinct": sk_kmv_distinct,
+        "graph_bfs_dist": graph_bfs_dist,
+        "text_unigram_lm": text_unigram_lm,
     }
 
 
@@ -4220,5 +4261,54 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (
                 ORDER BY priority DESC, seq ASC) AS rn FROM p)
             WHERE rn <= 200
+        """,
+        "sk_kmv_distinct": """
+            WITH hashes AS (
+              SELECT DISTINCT
+                ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT
+                  AS h
+              FROM lineitem),
+            kmin AS (SELECT h FROM hashes ORDER BY h LIMIT 512)
+            SELECT count(*) AS k_used, max(h) AS kth_hash,
+                   round(CASE WHEN count(*) < 512
+                              THEN CAST(count(*) AS DOUBLE)
+                              ELSE 511.0 * 1152921504606846976.0
+                                   / CAST(max(h) AS DOUBLE) END,
+                         4) AS est_distinct
+            FROM kmin
+        """,
+        "graph_bfs_dist": """
+            WITH RECURSIVE
+            docs AS (SELECT doc_id FROM documents),
+            nn AS (SELECT count(*) AS n FROM docs),
+            edges AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst
+                FROM docs, nn
+                UNION ALL
+                SELECT doc_id, (doc_id * 13 + 3) % nn.n FROM docs, nn
+                UNION ALL
+                SELECT doc_id, (doc_id * 3 + 11) % nn.n FROM docs, nn
+                WHERE doc_id % 5 <> 0)
+              WHERE src % 17 <> 0),
+            walk(node, dist) AS (
+              SELECT doc_id, 0 FROM docs WHERE doc_id % 97 = 0
+              UNION
+              SELECT e.dst, w.dist + 1
+              FROM walk w JOIN edges e ON e.src = w.node
+              WHERE w.dist < 4)
+            SELECT node, min(dist) AS dist FROM walk GROUP BY node
+        """,
+        "text_unigram_lm": """
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\\w+')) AS w
+              FROM documents),
+            freq AS (SELECT w, count(*) AS cnt FROM words GROUP BY w),
+            tot AS (SELECT CAST(count(*) AS DOUBLE) AS _tot FROM words)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(ln(cnt / _tot)), 6) AS avg_logp
+            FROM words JOIN freq USING (w), tot
+            GROUP BY doc_id
         """,
     }

@@ -102,6 +102,49 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     return out
 
 
+def bfs_distances(edges: DataFrame, seeds: DataFrame, src: str = "src",
+                  dst: str = "dst", seed_col: str = "node",
+                  max_hops: int = 4) -> DataFrame:
+    """Multi-source BFS: minimum link distance from any seed, bounded
+    at ``max_hops``. Returns (node, dist) for every reached node —
+    the link-depth metric a crawl audit compares against the frontier's
+    fetch depth (a page N clicks from the seed that the crawler only
+    found at depth >> N signals a discovery gap; pages unreached within
+    max_hops are the orphan candidates the reference's sitemap
+    cross-ref hints at, issue_detector.py:1536's "in sitemap, never
+    linked").
+
+    Classic distributed frontier expansion: per hop, one hash join of
+    the current frontier to the edge list on src + one left-anti join
+    against the known set — no driver-side adjacency, no recursion in
+    the plan (each round's frame is localCheckpoint-truncated so plan
+    depth stays O(1), as pagerank does). First-reach distance is the
+    minimum distance by BFS invariant, so no per-node min aggregate is
+    ever needed. The known set is O(V); each round shuffles only the
+    frontier-adjacent edges.
+
+    DuckDB twin: a recursive CTE over (node, dist) with ``dist <
+    max_hops`` recursion guard + ``min(dist)`` rollup (UNION dedup
+    keeps cyclic graphs finite).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    known = (seeds.select(F.col(seed_col).alias("node"),
+                          F.lit(0).alias("dist"))
+             .distinct())
+    frontier = known
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["s"])
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(known.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).alias("dist"))
+        )
+        known = known.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return known
+
+
 def degree_histogram(edges: DataFrame, src: str = "src",
                      dst: str = "dst") -> DataFrame:
     """Log2-binned in/out-degree distribution of the link graph — the

@@ -328,3 +328,41 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
         .filter(F.col("rn") <= top_k)
         .select(id_col, "term", "tfidf", "rn")
     )
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document unigram language-model score — the corpus-side
+    fluency gate of a training-data pipeline (the cheap stand-in for a
+    KenLM perplexity filter, CCNet/RefinedWeb style): documents whose
+    tokens are uniformly rare relative to the corpus itself are
+    boilerplate, lists, or noise; documents of common words score high.
+
+    Trains the LM on the corpus being scored (self-perplexity): P(w) =
+    count(w) / total_tokens over the whole input, score = mean over the
+    document's tokens of ln P(w) (higher = more fluent), emitted as
+    round-6 ``avg_logp`` with the token count. Tokens are the corpus-wide
+    lowercase ``\\w+`` runs every text operator here shares (token_count
+    / repetition_metrics / tfidf_top_terms).
+
+    Scale shape: one explode + two hash aggregates (per-term corpus
+    counts partial-aggregate map-side; the per-doc mean likewise), one
+    hash join of the token stream to the O(vocab) frequency table, and
+    a 1-row total broadcast. No windows, no driver state; the frequency
+    table join key is the term, whose zipf skew is absorbed by the
+    partial aggregation (the join itself is vocab-sized build side).
+    """
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '\\\\w+', 0)")
+    words = df.select(F.col(id_col), F.explode(toks).alias("w"))
+    freq = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    tot = words.agg(F.sum(F.lit(1)).cast("double").alias("_tot"))
+    return (
+        words.join(freq, "w")
+        .join(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("cnt") / F.col("_tot"))), 6)
+            .alias("avg_logp"),
+        )
+    )

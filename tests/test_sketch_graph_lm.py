@@ -1,0 +1,149 @@
+"""Unit tests for the round-4 additions: KMV distinct sketch
+(operators/sketch.py), multi-source BFS link distance
+(operators/graph.py:bfs_distances), and the unigram-LM fluency score
+(operators/text.py:unigram_logprob) — each against an independent
+pure-Python transcription."""
+
+import hashlib
+import math
+import re
+from collections import Counter
+
+
+def _py_kmv_hash(x) -> int:
+    return int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)
+
+
+class TestKmvDistinct:
+    def _run(self, spark, values, k):
+        from librecrawl_spark.operators.sketch import kmv_distinct
+
+        df = spark.createDataFrame([(v,) for v in values], schema="v string")
+        return kmv_distinct(df, "v", k=k).collect()[0]
+
+    def test_small_set_exact_fallback(self, spark):
+        # fewer distinct values than k: the estimate IS the exact count
+        vals = [f"url{i % 7}" for i in range(50)]
+        row = self._run(spark, vals, k=512)
+        assert row["k_used"] == 7
+        assert row["est_distinct"] == 7.0
+
+    def test_matches_python_transcription(self, spark):
+        vals = [f"https://h{i % 37}.example/p{i % 211}" for i in range(1000)]
+        k = 16
+        row = self._run(spark, vals, k=k)
+        hashes = sorted({_py_kmv_hash(v) for v in set(vals)})
+        bottom = hashes[:k]
+        kth = bottom[-1]
+        est = round((k - 1) * float(2 ** 60) / float(kth), 4)
+        assert row["k_used"] == k
+        assert row["kth_hash"] == kth
+        assert row["est_distinct"] == est
+        # sanity: the estimate is in the right ballpark of the truth
+        true = len(set(vals))
+        assert 0.3 * true < row["est_distinct"] < 3.0 * true
+
+    def test_estimate_reasonable_at_k512(self, spark):
+        vals = [str(i) for i in range(5000)]
+        row = self._run(spark, vals, k=512)
+        # rel. error ~ 1/sqrt(510) ≈ 4.4%; allow 5 sigma
+        assert abs(row["est_distinct"] - 5000) / 5000 < 0.25
+
+
+def _py_bfs(edges, seeds, max_hops):
+    adj = {}
+    for s, d in set(edges):
+        adj.setdefault(s, set()).add(d)
+    dist = {v: 0 for v in seeds}
+    frontier = set(seeds)
+    for hop in range(1, max_hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    nxt.add(v)
+        for v in nxt:
+            dist[v] = hop
+        frontier = nxt
+    return dist
+
+
+class TestBfsDistances:
+    EDGES = [
+        (0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6),   # chain
+        (2, 0),                                           # cycle back
+        (1, 1),                                           # self loop
+        (7, 8), (8, 7),                                   # detached 2-cycle
+        (0, 2), (0, 2),                                   # parallel edges
+    ]
+
+    def _spark_bfs(self, spark, edges, seeds, max_hops):
+        from librecrawl_spark.operators.graph import bfs_distances
+
+        e = spark.createDataFrame(edges, schema="src long, dst long")
+        s = spark.createDataFrame([(x,) for x in seeds], schema="node long")
+        out = bfs_distances(e, s, max_hops=max_hops)
+        return {r["node"]: r["dist"] for r in out.collect()}
+
+    def test_single_seed_matches_python(self, spark):
+        got = self._spark_bfs(spark, self.EDGES, [0], 4)
+        assert got == _py_bfs(self.EDGES, [0], 4)
+        # shortcut edge (0,2) puts 5 exactly at the hop bound; 6 is out
+        assert got[5] == 4 and 6 not in got
+        # detached component unreached
+        assert 7 not in got and 8 not in got
+
+    def test_multi_seed_takes_minimum(self, spark):
+        got = self._spark_bfs(spark, self.EDGES, [0, 4], 4)
+        assert got == _py_bfs(self.EDGES, [0, 4], 4)
+        assert got[5] == 1 and got[4] == 0
+        # 3 is reachable from seed 0 at hop 2 via the (0,2) shortcut
+        assert got[3] == 2
+
+    def test_seed_not_in_graph(self, spark):
+        got = self._spark_bfs(spark, self.EDGES, [99], 3)
+        assert got == {99: 0}
+
+
+def _py_unigram(docs):
+    tok = lambda t: re.findall(r"\w+", t.lower())  # noqa: E731
+    freq = Counter(w for _, t in docs for w in tok(t))
+    tot = float(sum(freq.values()))
+    out = {}
+    for i, t in docs:
+        ws = tok(t)
+        if not ws:
+            continue
+        out[i] = (len(ws),
+                  round(sum(math.log(freq[w] / tot) for w in ws) / len(ws), 6))
+    return out
+
+
+class TestUnigramLogprob:
+    DOCS = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the the the the common words score higher"),
+        (3, "zyzzyva qwertyuiop asdfghjkl rare tokens"),
+        (4, "The Quick BROWN fox!"),
+        (5, ""),
+    ]
+
+    def test_matches_python_transcription(self, spark):
+        from librecrawl_spark.operators.text import unigram_logprob
+
+        df = spark.createDataFrame(self.DOCS, schema="doc_id long, text string")
+        got = {r["doc_id"]: (r["n_tokens"], r["avg_logp"])
+               for r in unigram_logprob(df).collect()}
+        want = _py_unigram(self.DOCS)
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k][0] == want[k][0]
+            assert abs(got[k][1] - want[k][1]) < 1e-9, (k, got[k], want[k])
+
+    def test_common_words_score_higher(self, spark):
+        from librecrawl_spark.operators.text import unigram_logprob
+
+        df = spark.createDataFrame(self.DOCS, schema="doc_id long, text string")
+        got = {r["doc_id"]: r["avg_logp"]
+               for r in unigram_logprob(df).collect()}
+        assert got[2] > got[3]  # repeated common words beat rare junk
