@@ -1986,6 +1986,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         seeds = d.filter(i % 97 == 0).select(i.alias("node"))
         return bfs_distances(edges, seeds, max_hops=4)
 
+    def dedup_containment(spark, sf):
+        """Ordered shingle-containment pairs (dedup.py:containment_pairs,
+        t=0.8): the asymmetric near-dup detector for short-doc-inside-
+        long-doc (template/quote embedding) that Jaccard misses. Every
+        83rd document spawns a 'quote' doc (its first 30 tokens, id +
+        10^7) so the fixture contains planted containments at C=1."""
+        from librecrawl_spark.operators.dedup import containment_pairs
+
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        quotes = d.filter(F.col("doc_id") % 83 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.slice(F.expr(r"regexp_extract_all(text, '\\w+', 0)"),
+                        1, 30),
+            ).alias("text"),
+        )
+        return containment_pairs(d.unionByName(quotes), threshold=0.8)
+
     def text_unigram_lm(spark, sf):
         """Self-trained unigram LM fluency score per document
         (operators/text.py:unigram_logprob) — the cheap KenLM-style
@@ -2099,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk_kmv_distinct": sk_kmv_distinct,
         "graph_bfs_dist": graph_bfs_dist,
         "text_unigram_lm": text_unigram_lm,
+        "dedup_containment": dedup_containment,
     }
 
 
@@ -4310,5 +4330,41 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(ln(cnt / _tot)), 6) AS avg_logp
             FROM words JOIN freq USING (w), tot
             GROUP BY doc_id
+        """,
+        "dedup_containment": rf"""
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000,
+                     array_to_string(
+                       list_slice(regexp_extract_all(text, '\w+'), 1, 30),
+                       ' ')
+              FROM documents WHERE doc_id % 83 = 0
+            ),
+            s AS (
+              SELECT doc_id, list_distinct({shingles}) AS sh FROM base
+            ),
+            nz AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+            inv AS (SELECT doc_id, unnest(sh) AS shingle FROM nz),
+            cold AS (
+              SELECT shingle FROM inv GROUP BY shingle
+              HAVING count(*) <= 1000),
+            invc AS (
+              SELECT inv.doc_id, inv.shingle
+              FROM inv JOIN cold USING (shingle)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_inner, b.doc_id AS doc_outer
+              FROM invc a
+              JOIN invc b
+                ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+            )
+            SELECT doc_inner, doc_outer,
+                   round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                         / len(sa.sh), 6) AS containment
+            FROM cand
+            JOIN nz sa ON sa.doc_id = cand.doc_inner
+            JOIN nz sb ON sb.doc_id = cand.doc_outer
+            WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                        / len(sa.sh), 6) >= 0.8
         """,
     }

@@ -315,6 +315,73 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      threshold: float = 0.8, k: int = SHINGLE_K,
+                      max_df: int = 1000) -> DataFrame:
+    """Ordered near-containment pairs: (doc_inner, doc_outer,
+    containment) where C(inner→outer) = |S(inner) ∩ S(outer)| /
+    |S(inner)| >= threshold — the asymmetric twin of ngram_jaccard_pairs
+    that catches what Jaccard structurally misses: a short document
+    wholly embedded in a much longer one (template + article, quoted
+    post + thread page, boilerplate wrapper) has near-1 containment but
+    Jaccard ≈ |inner|/|outer| → 0 as the outer grows.
+
+    Same physical strategy as ngram_jaccard_pairs (df-capped inverted
+    index + exact array_intersect verify), with the containment-specific
+    prefix filter: index only each doc's n - ceil(t*n) + 1 rarest cold
+    shingles as the INNER side (if the outer missed every indexed
+    prefix shingle, overlap <= |inner| - p < t*|inner| — contradiction;
+    same argument as the Jaccard prefix, c = t), and probe with ALL cold
+    entries as the outer side — no size-ratio conjunct, because the
+    outer may be arbitrarily larger. Pairs whose every shared shingle
+    has df > max_df are dropped (principled: boilerplate-only overlap),
+    identically to ngram_jaccard_pairs.
+    """
+    sh = (shingle_sets(_spread(df), text_col, k)
+          .filter(F.size("shingles") > 0).persist())
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    dfreq = inv.groupBy("shingle").agg(F.count("*").alias("df"))
+    hot = dfreq.filter(F.col("df") > max_df).select("shingle")
+    inv_cold = inv.join(hot, "shingle", "left_anti")
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    ranked = (
+        inv_cold.join(dfreq, "shingle")
+        .withColumn("_rk", F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "shingle")))
+        .join(sizes, "doc_id")
+        .persist()
+    )
+    prefix = ranked.filter(
+        F.col("_rk") <= F.col("n") - F.ceil(threshold * F.col("n")) + 1
+    ).select("doc_id", "shingle")
+    probe = ranked.select("doc_id", "shingle")
+    cand = (
+        prefix.alias("a").join(
+            probe.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_inner"),
+                F.col("b.doc_id").alias("doc_outer"))
+        .distinct()
+    )
+    pa = sh.select(F.col("doc_id").alias("doc_inner"),
+                   F.col("shingles").alias("sh_a"))
+    pb = sh.select(F.col("doc_id").alias("doc_outer"),
+                   F.col("shingles").alias("sh_b"))
+    out = (
+        cand.join(pa, "doc_inner").join(pb, "doc_outer")
+        .withColumn(
+            "containment",
+            F.round(F.size(F.array_intersect("sh_a", "sh_b"))
+                    / F.size("sh_a"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_inner", "doc_outer", "containment")
+    )
+    return out
+
+
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                          nodes: DataFrame | None = None, id_col: str = "id",
                          max_iter: int = 64) -> DataFrame:

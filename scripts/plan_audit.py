@@ -61,6 +61,10 @@ AUDITED = [
     "kw_page_keywords",       # explode -> two hash aggs -> per-doc top-k
     "kw_cannibalization",     # keyword self-join over per-page top terms
     "p3_priority_wave",       # bucket-counted priority cut, no global sort
+    "sk_kmv_distinct",        # hash distinct -> TakeOrdered bottom-k
+    "graph_bfs_dist",         # per-hop frontier join + anti-join
+    "text_unigram_lm",        # explode -> vocab join -> per-doc mean
+    "dedup_containment",      # asymmetric prefix-filtered index join
 ]
 
 RED_FLAGS = ("BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin")
@@ -79,6 +83,9 @@ ALLOWED = {
     # p2: the host-score frame joins a broadcast 1-row score total —
     # same deliberate 1-row build side as pipe_tfidf
     "p2_budget_alloc": {"BroadcastNestedLoopJoin"},
+    # unigram LM joins a broadcast 1-row corpus-token total — the
+    # identical deliberate shape as pipe_tfidf's 1-row N aggregate
+    "text_unigram_lm": {"BroadcastNestedLoopJoin"},
 }
 
 

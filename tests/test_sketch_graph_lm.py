@@ -147,3 +147,65 @@ class TestUnigramLogprob:
         got = {r["doc_id"]: r["avg_logp"]
                for r in unigram_logprob(df).collect()}
         assert got[2] > got[3]  # repeated common words beat rare junk
+
+
+def _py_containment(docs, t=0.8, k=3, max_df=1000):
+    shsets = {}
+    for i, txt in docs:
+        ws = re.findall(r"\w+", txt)
+        sh = {" ".join(ws[j:j + k]) for j in range(len(ws) - k + 1)}
+        if sh:
+            shsets[i] = sh
+    dfreq = Counter(s for sh in shsets.values() for s in sh)
+    out = {}
+    for a, sa in shsets.items():
+        for b, sb in shsets.items():
+            if a == b:
+                continue
+            inter = sa & sb
+            # candidate iff any shared shingle is cold (df <= max_df)
+            if not any(dfreq[s] <= max_df for s in inter):
+                continue
+            c = round(len(inter) / len(sa), 6)
+            if c >= t:
+                out[(a, b)] = c
+    return out
+
+
+class TestContainmentPairs:
+    def test_planted_quote_and_transcription(self, spark):
+        from librecrawl_spark.operators.dedup import containment_pairs
+
+        base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+                "juliet kilo lima mike november oscar papa quebec romeo "
+                "sierra tango uniform victor whiskey xray yankee zulu")
+        docs = [
+            (1, base + " one two three four five six seven eight nine ten"),
+            (2, " ".join(base.split()[:12])),        # prefix quote of 1
+            (3, "completely different words about nothing shared here at "
+                "all in any way whatsoever through the entire text body"),
+            (4, "tiny"),                              # < k tokens: no shingles
+            (5, base + " one two three four five six seven eight nine ten"),
+        ]
+        df = spark.createDataFrame(docs, schema="doc_id long, text string")
+        got = {(r["doc_inner"], r["doc_outer"]): r["containment"]
+               for r in containment_pairs(df, threshold=0.8).collect()}
+        want = _py_containment(docs)
+        assert got == want
+        # the quote is contained in both long docs; reverse is not
+        assert got[(2, 1)] == 1.0 and got[(2, 5)] == 1.0
+        assert (1, 2) not in got
+        # exact duplicates contain each other
+        assert got[(1, 5)] == 1.0 and got[(5, 1)] == 1.0
+
+    def test_jaccard_misses_what_containment_catches(self, spark):
+        from librecrawl_spark.operators.dedup import (containment_pairs,
+                                                      ngram_jaccard_pairs)
+
+        long_txt = " ".join(f"w{i} w{i + 1} w{i + 2}" for i in range(200))
+        docs = [(1, long_txt), (2, " ".join(long_txt.split()[:15]))]
+        df = spark.createDataFrame(docs, schema="doc_id long, text string")
+        cp = containment_pairs(df, threshold=0.8).collect()
+        jp = ngram_jaccard_pairs(df, threshold=0.8).collect()
+        assert any(r["doc_inner"] == 2 and r["doc_outer"] == 1 for r in cp)
+        assert jp == []  # symmetric Jaccard can't see the embedding
