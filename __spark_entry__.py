@@ -2005,6 +2005,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return containment_pairs(d.unionByName(quotes), threshold=0.8)
 
+    def graph_hits(spark, sf):
+        """HITS hubs & authorities (operators/graph.py:hits, 2
+        L1-normalized iterations, round-8 per round) over the same
+        synthetic doc_id link graph as pagerank; the oracle replays
+        both unrolled iterations in SQL."""
+        from librecrawl_spark.operators.graph import hits
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        n = d.count()
+        i = F.col("doc_id")
+        e1 = d.select(i.alias("src"), ((i * 7 + 1) % n).alias("dst"))
+        e2 = d.select(i.alias("src"), ((i * 13 + 3) % n).alias("dst"))
+        e3 = (d.filter(i % 5 != 0)
+              .select(i.alias("src"), ((i * 3 + 11) % n).alias("dst")))
+        edges = (e1.unionByName(e2).unionByName(e3)
+                 .filter(F.col("src") % 17 != 0))
+        return hits(edges, iters=2)
+
     def text_unigram_lm(spark, sf):
         """Self-trained unigram LM fluency score per document
         (operators/text.py:unigram_logprob) — the cheap KenLM-style
@@ -2119,6 +2137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs_dist": graph_bfs_dist,
         "text_unigram_lm": text_unigram_lm,
         "dedup_containment": dedup_containment,
+        "graph_hits": graph_hits,
     }
 
 
@@ -4366,5 +4385,54 @@ def oracle_sql() -> dict[str, str]:
             JOIN nz sb ON sb.doc_id = cand.doc_outer
             WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
                         / len(sa.sh), 6) >= 0.8
+        """,
+        "graph_hits": """
+            WITH docs AS (SELECT doc_id FROM documents),
+            nn AS (SELECT count(*) AS n FROM docs),
+            edges AS (
+              SELECT src, dst FROM (
+                SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst
+                FROM docs, nn
+                UNION ALL
+                SELECT doc_id, (doc_id * 13 + 3) % nn.n FROM docs, nn
+                UNION ALL
+                SELECT doc_id, (doc_id * 3 + 11) % nn.n FROM docs, nn
+                WHERE doc_id % 5 <> 0)
+              WHERE src % 17 <> 0),
+            nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges)),
+            nv AS (SELECT count(*) AS c FROM nodes),
+            h0 AS (SELECT node, round(1.0 / nv.c, 8) AS hub
+                   FROM nodes, nv),
+            a1r AS (SELECT e.dst AS node, sum(h0.hub) AS raw
+                    FROM edges e JOIN h0 ON h0.node = e.src
+                    GROUP BY e.dst),
+            a1t AS (SELECT sum(raw) AS t FROM a1r),
+            a1 AS (SELECT n.node,
+                          round(coalesce(r.raw, 0) / t.t, 8) AS authority
+                   FROM nodes n LEFT JOIN a1r r ON r.node = n.node, a1t t),
+            h1r AS (SELECT e.src AS node, sum(a1.authority) AS raw
+                    FROM edges e JOIN a1 ON a1.node = e.dst
+                    GROUP BY e.src),
+            h1t AS (SELECT sum(raw) AS t FROM h1r),
+            h1 AS (SELECT n.node, round(coalesce(r.raw, 0) / t.t, 8) AS hub
+                   FROM nodes n LEFT JOIN h1r r ON r.node = n.node, h1t t),
+            a2r AS (SELECT e.dst AS node, sum(h1.hub) AS raw
+                    FROM edges e JOIN h1 ON h1.node = e.src
+                    GROUP BY e.dst),
+            a2t AS (SELECT sum(raw) AS t FROM a2r),
+            a2 AS (SELECT n.node,
+                          round(coalesce(r.raw, 0) / t.t, 8) AS authority
+                   FROM nodes n LEFT JOIN a2r r ON r.node = n.node, a2t t),
+            h2r AS (SELECT e.src AS node, sum(a2.authority) AS raw
+                    FROM edges e JOIN a2 ON a2.node = e.dst
+                    GROUP BY e.src),
+            h2t AS (SELECT sum(raw) AS t FROM h2r),
+            h2 AS (SELECT n.node, round(coalesce(r.raw, 0) / t.t, 8) AS hub
+                   FROM nodes n LEFT JOIN h2r r ON r.node = n.node, h2t t)
+            SELECT h2.node, h2.hub, a2.authority
+            FROM h2 JOIN a2 USING (node)
         """,
     }

@@ -171,3 +171,76 @@ def degree_histogram(edges: DataFrame, src: str = "src",
                         "n_nodes", "min_degree", "max_degree"))
 
     return one(src, "out").unionByName(one(dst, "in"))
+
+
+def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
+         iters: int = 2, round_to: int = 8) -> DataFrame:
+    """Kleinberg HITS hubs & authorities over the link graph — the
+    complement of pagerank for crawl analytics: authorities are the
+    pages good hubs point at (content worth fetching first), hubs are
+    the directory/index pages whose out-links are worth expanding (the
+    reference's visualization endpoint surfaces exactly these two node
+    roles informally via in/out-degree; main.py's link graph).
+
+    L1-normalized power iteration: per round, authority(v) = Σ_{u→v}
+    hub(u) then normalize to Σ=1, hub(u) = Σ_{u→v} authority(v) then
+    normalize — L1 instead of the textbook L2 so a SQL replay needs no
+    sqrt of a sum of squares, and with per-round ``round_to`` rounding
+    so any engine replays the identical fixpoint prefix (same trick as
+    pagerank / kmeans_codebook). Parallel edges contribute twice,
+    matching pagerank's raw-links convention.
+
+    Scale shape per round: two edge-to-score hash joins + two
+    groupBy partial aggregations + two 1-row broadcast normalizers.
+    Scores are O(V); lineage truncated per round via localCheckpoint.
+    Returns (node, hub, authority).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        nodes.unpersist()
+        return e.select(F.col("s").alias("node"), F.lit(0.0).alias("hub"),
+                        F.lit(0.0).alias("authority")).limit(0)
+    h = nodes.select(
+        "node", F.round(F.lit(1.0 / n_nodes), round_to).alias("hub"))
+    a = None
+    for _ in range(iters):
+        araw = (
+            e.join(h.select(F.col("node").alias("_hn"), "hub"),
+                   e["s"] == F.col("_hn"))
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum("hub").alias("_raw"))
+        )
+        atot = araw.agg(F.sum("_raw").alias("_t"))
+        a = (
+            nodes.join(araw, "node", "left")
+            .join(F.broadcast(atot))
+            .select("node",
+                    F.round(F.coalesce(F.col("_raw"), F.lit(0.0))
+                            / F.col("_t"), round_to).alias("authority"))
+            .localCheckpoint(eager=False)
+        )
+        hraw = (
+            e.join(a.select(F.col("node").alias("_an"), "authority"),
+                   e["d"] == F.col("_an"))
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.sum("authority").alias("_raw"))
+        )
+        htot = hraw.agg(F.sum("_raw").alias("_t"))
+        h = (
+            nodes.join(hraw, "node", "left")
+            .join(F.broadcast(htot))
+            .select("node",
+                    F.round(F.coalesce(F.col("_raw"), F.lit(0.0))
+                            / F.col("_t"), round_to).alias("hub"))
+            .localCheckpoint(eager=False)
+        )
+    out = h.join(a, "node").select("node", "hub", "authority")
+    nodes.unpersist()
+    return out

@@ -209,3 +209,57 @@ class TestContainmentPairs:
         jp = ngram_jaccard_pairs(df, threshold=0.8).collect()
         assert any(r["doc_inner"] == 2 and r["doc_outer"] == 1 for r in cp)
         assert jp == []  # symmetric Jaccard can't see the embedding
+
+
+def _py_hits(edges, iters=2, r=8):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    h = {v: round(1.0 / n, r) for v in nodes}
+    a = {}
+    for _ in range(iters):
+        araw = {}
+        for s, d in edges:
+            araw[d] = araw.get(d, 0.0) + h[s]
+        t = sum(araw.values())
+        a = {v: round(araw.get(v, 0.0) / t, r) for v in nodes}
+        hraw = {}
+        for s, d in edges:
+            hraw[s] = hraw.get(s, 0.0) + a[d]
+        t2 = sum(hraw.values())
+        h = {v: round(hraw.get(v, 0.0) / t2, r) for v in nodes}
+    return {v: (h[v], a[v]) for v in nodes}
+
+
+class TestHits:
+    EDGES = [
+        (0, 3), (1, 3), (2, 3),      # 3 is the authority
+        (0, 4), (1, 4),
+        (5, 0),                      # 5 points at a hub
+        (6, 3), (6, 4), (6, 0),     # 6 is the strongest hub
+        (6, 3),                      # parallel edge counts twice
+    ]
+
+    def test_matches_python_transcription(self, spark):
+        from librecrawl_spark.operators.graph import hits
+
+        e = spark.createDataFrame(self.EDGES, schema="src long, dst long")
+        got = {r["node"]: (r["hub"], r["authority"])
+               for r in hits(e, iters=2).collect()}
+        want = _py_hits(self.EDGES)
+        assert set(got) == set(want)
+        for v in want:
+            assert abs(got[v][0] - want[v][0]) <= 1e-8, (v, got[v], want[v])
+            assert abs(got[v][1] - want[v][1]) <= 1e-8, (v, got[v], want[v])
+
+    def test_roles_are_separated(self, spark):
+        from librecrawl_spark.operators.graph import hits
+
+        e = spark.createDataFrame(self.EDGES, schema="src long, dst long")
+        got = {r["node"]: r for r in hits(e, iters=2).collect()}
+        # 3 is the top authority; 6 the top hub; sink 3 has hub 0
+        assert max(got, key=lambda v: got[v]["authority"]) == 3
+        assert max(got, key=lambda v: got[v]["hub"]) == 6
+        assert got[3]["hub"] == 0.0 and got[6]["authority"] == 0.0
+        # L1 normalization: each score family sums to ~1
+        assert abs(sum(r["hub"] for r in got.values()) - 1.0) < 1e-6
+        assert abs(sum(r["authority"] for r in got.values()) - 1.0) < 1e-6
