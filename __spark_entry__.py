@@ -2005,6 +2005,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return containment_pairs(d.unionByName(quotes), threshold=0.8)
 
+    def sk_kmv_by_group(spark, sf):
+        """Per-group KMV distinct estimate (sketch.py:kmv_distinct_by,
+        k=256): distinct orderkeys per returnflag — the 'distinct URLs
+        per host' probe shape. Bounded per-group bottom-k window, same
+        estimator + small-group exact fallback as sk_kmv_distinct."""
+        from librecrawl_spark.operators.sketch import kmv_distinct_by
+
+        return kmv_distinct_by(_t(spark, sf, "lineitem"),
+                               "l_returnflag", "l_orderkey", k=256)
+
+    def pipe_priority_sample(spark, sf):
+        """Deterministic priority (PPS) sampling (pipeline.py:
+        priority_sample, Duffield–Lund–Thorup): top-50 documents by
+        n_chars-weighted hash priority — exact-k weight-proportional
+        corpus sampling, a pure function of (id, weight) so the DuckDB
+        twin replays the identical sample."""
+        from librecrawl_spark.operators.pipeline import priority_sample
+
+        return priority_sample(_t(spark, sf, "documents"),
+                               "doc_id", "n_chars", 50)
+
     def graph_hits(spark, sf):
         """HITS hubs & authorities (operators/graph.py:hits, 2
         L1-normalized iterations, round-8 per round) over the same
@@ -2138,6 +2159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_lm": text_unigram_lm,
         "dedup_containment": dedup_containment,
         "graph_hits": graph_hits,
+        "sk_kmv_by_group": sk_kmv_by_group,
+        "pipe_priority_sample": pipe_priority_sample,
     }
 
 
@@ -4434,5 +4457,37 @@ def oracle_sql() -> dict[str, str]:
                    FROM nodes n LEFT JOIN h2r r ON r.node = n.node, h2t t)
             SELECT h2.node, h2.hub, a2.authority
             FROM h2 JOIN a2 USING (node)
+        """,
+        "sk_kmv_by_group": """
+            WITH d AS (
+              SELECT DISTINCT l_returnflag,
+                ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT
+                  AS h
+              FROM lineitem),
+            r AS (
+              SELECT l_returnflag, h,
+                     row_number() OVER (PARTITION BY l_returnflag
+                                        ORDER BY h) AS rk
+              FROM d)
+            SELECT l_returnflag, count(*) AS k_used, max(h) AS kth_hash,
+                   round(CASE WHEN count(*) < 256
+                              THEN CAST(count(*) AS DOUBLE)
+                              ELSE 255.0 * 1152921504606846976.0
+                                   / CAST(max(h) AS DOUBLE) END,
+                         4) AS est_distinct
+            FROM r WHERE rk <= 256
+            GROUP BY l_returnflag
+        """,
+        "pipe_priority_sample": """
+            WITH p AS (
+              SELECT doc_id, n_chars,
+                     CAST(n_chars AS DOUBLE)
+                     / ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                         + 1) / 1152921504606846976.0) AS q
+              FROM documents)
+            SELECT doc_id, n_chars, round(q, 4) AS priority
+            FROM p
+            ORDER BY q DESC, doc_id ASC
+            LIMIT 50
         """,
     }

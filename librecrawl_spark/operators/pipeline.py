@@ -343,3 +343,36 @@ def quality_gate(
         "doc_id", reason.alias("reason"), n_words.alias("n_words"),
         alpha.alias("alpha_ratio"), word_rep.alias("word_rep_ratio"),
     )
+
+
+def priority_sample(df: DataFrame, id_col: str, weight_col: str,
+                    k: int) -> DataFrame:
+    """Deterministic weight-proportional sample of k rows — priority
+    sampling (Duffield–Lund–Thorup, JACM 2007): each row gets priority
+    q = w / u with u = Uniform(0,1] derived from a value hash of the
+    id, and the k largest priorities win. Inclusion probability is
+    proportional to weight (for w << the sampling threshold), which is
+    the corpus-mixing primitive "sample documents proportional to
+    quality score" — stratified_sample's per-stratum RATES are exact but
+    can't target an exact k; this targets exact k with weight bias.
+
+    Determinism: u comes from the same md5-prefix hash as the KMV
+    sketch (sketch.kmv_hash), so the sample is a pure function of
+    (id, weight) — replayable in DuckDB/python, stable across runs,
+    partitionings, and cluster sizes. The ordering key is the RAW
+    double priority (bit-identical across engines); only the emitted
+    priority is rounded for display.
+
+    Scale shape: one map-side projection + a distributed top-k
+    (TakeOrdered) — never a global sort.
+    """
+    from .sketch import _HASH_SPACE, kmv_hash
+
+    u = (kmv_hash(id_col) + F.lit(1)).cast("double") / F.lit(_HASH_SPACE)
+    pri = F.col(weight_col).cast("double") / u
+    return (
+        df.select(F.col(id_col), F.col(weight_col), pri.alias("_q"))
+        .orderBy(F.desc("_q"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, weight_col, F.round("_q", 4).alias("priority"))
+    )

@@ -79,3 +79,38 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 512) -> DataFrame:
         .agg(F.count("*").alias("k_used"), F.max("h").alias("kth_hash"))
         .select("k_used", "kth_hash", F.round(est, 4).alias("est_distinct"))
     )
+
+
+def kmv_distinct_by(df: DataFrame, group_col: str, col: str,
+                    k: int = 512) -> DataFrame:
+    """Per-group KMV distinct estimate — "distinct URLs per host" over a
+    10^10-row frontier without a per-host exact COUNT(DISTINCT) (whose
+    hash explosion is exactly what a sketch avoids). Returns one row per
+    group: (group_col, k_used, kth_hash, est_distinct).
+
+    Shape: distinct (group, hash) pairs (one shuffle, map-side partial),
+    then a bounded per-group bottom-k window — the same top-k-per-group
+    plan as W3, output k rows per group max. The estimator and its
+    small-group exact fallback are identical to kmv_distinct.
+    """
+    from pyspark.sql import Window
+
+    d = (
+        df.select(F.col(group_col), kmv_hash(col).alias("h"))
+        .filter(F.col("h").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy(group_col).orderBy("h")
+    est = (
+        F.when(F.col("k_used") < k, F.col("k_used").cast("double"))
+        .otherwise(F.lit(float(k - 1)) * F.lit(_HASH_SPACE)
+                   / F.col("kth_hash").cast("double"))
+    )
+    return (
+        d.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .groupBy(group_col)
+        .agg(F.count("*").alias("k_used"), F.max("h").alias("kth_hash"))
+        .select(group_col, "k_used", "kth_hash",
+                F.round(est, 4).alias("est_distinct"))
+    )

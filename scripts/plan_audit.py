@@ -65,6 +65,9 @@ AUDITED = [
     "graph_bfs_dist",         # per-hop frontier join + anti-join
     "text_unigram_lm",        # explode -> vocab join -> per-doc mean
     "dedup_containment",      # asymmetric prefix-filtered index join
+    "graph_hits",             # 2 L1-normalized hub/authority rounds
+    "sk_kmv_by_group",        # per-group bottom-k sketch window
+    "pipe_priority_sample",   # weighted hash-priority TakeOrdered
 ]
 
 RED_FLAGS = ("BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin")

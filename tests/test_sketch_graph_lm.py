@@ -263,3 +263,58 @@ class TestHits:
         # L1 normalization: each score family sums to ~1
         assert abs(sum(r["hub"] for r in got.values()) - 1.0) < 1e-6
         assert abs(sum(r["authority"] for r in got.values()) - 1.0) < 1e-6
+
+
+class TestKmvDistinctBy:
+    def test_matches_python_per_group(self, spark):
+        from librecrawl_spark.operators.sketch import kmv_distinct_by
+
+        rows = [(f"g{i % 3}", f"v{i % 97}") for i in range(600)]
+        df = spark.createDataFrame(rows, schema="grp string, v string")
+        k = 8
+        got = {r["grp"]: (r["k_used"], r["kth_hash"], r["est_distinct"])
+               for r in kmv_distinct_by(df, "grp", "v", k=k).collect()}
+        for g in ("g0", "g1", "g2"):
+            vals = {v for gg, v in rows if gg == g}
+            hashes = sorted({_py_kmv_hash(v) for v in vals})[:k]
+            kth = hashes[-1]
+            if len(hashes) < k:
+                est = float(len(hashes))
+            else:
+                est = round((k - 1) * float(2 ** 60) / float(kth), 4)
+            assert got[g] == (len(hashes), kth, est), g
+
+    def test_small_groups_exact(self, spark):
+        from librecrawl_spark.operators.sketch import kmv_distinct_by
+
+        rows = [("a", "x"), ("a", "y"), ("a", "x"), ("b", "z")]
+        df = spark.createDataFrame(rows, schema="grp string, v string")
+        got = {r["grp"]: r["est_distinct"]
+               for r in kmv_distinct_by(df, "grp", "v", k=16).collect()}
+        assert got == {"a": 2.0, "b": 1.0}
+
+
+class TestPrioritySample:
+    def test_matches_python_transcription(self, spark):
+        from librecrawl_spark.operators.pipeline import priority_sample
+
+        rows = [(i, (i * 37) % 100 + 1) for i in range(500)]
+        df = spark.createDataFrame(rows, schema="id long, w long")
+        got = [(r["id"], r["w"], r["priority"])
+               for r in priority_sample(df, "id", "w", 20).collect()]
+        hs = float(2 ** 60)
+        pri = [(i, w, w / ((_py_kmv_hash(i) + 1) / hs)) for i, w in rows]
+        pri.sort(key=lambda t: (-t[2], t[0]))
+        want = [(i, w, round(q, 4)) for i, w, q in pri[:20]]
+        assert got == want
+
+    def test_weight_bias(self, spark):
+        from librecrawl_spark.operators.pipeline import priority_sample
+
+        # 50 heavy rows (w=1000) among 950 light rows (w=1): the heavy
+        # rows should dominate a k=50 sample
+        rows = [(i, 1000 if i < 50 else 1) for i in range(1000)]
+        df = spark.createDataFrame(rows, schema="id long, w long")
+        got = priority_sample(df, "id", "w", 50).collect()
+        n_heavy = sum(1 for r in got if r["w"] == 1000)
+        assert n_heavy >= 40
