@@ -99,6 +99,52 @@ class TableIO:
                 removed += 1
         return removed
 
+    def compact(self, spark, name: str, target_files: int = 8) -> int:
+        """Rewrite the table's CURRENT rows into ``target_files`` parquet
+        files and publish that as a new snapshot — Iceberg's
+        rewrite_data_files. A crawl commits one snapshot per wave, each
+        appending a task's worth of small files; after 10^5 waves the
+        manifest lists millions of files and every scan pays open/footer
+        cost per file. Compaction caps that: same rows (reads chain to
+        the new snapshot), prior snapshots keep their original file
+        lists, so time travel is unaffected until expire_snapshots
+        reclaims them. ``coalesce`` (not repartition) so the rewrite
+        itself is shuffle-free."""
+        df = self.read(spark, name).coalesce(max(1, target_files))
+        return self.commit(name, df, mode="overwrite")
+
+    def expire_snapshots(self, name: str, keep_last: int = 1) -> tuple[int, int]:
+        """Drop snapshot manifests older than the newest ``keep_last``
+        and physically delete data files no remaining manifest
+        references — Iceberg's expire_snapshots + orphan-file vacuum,
+        the storage-reclaim half of the compact() lifecycle. A snapshot
+        pinned by the crawl-level checkpoint (resume would read it) is
+        always retained regardless of age. Returns
+        (manifests_removed, data_files_deleted)."""
+        snaps = self.snapshots(name)
+        keep = set(snaps[-keep_last:]) if keep_last > 0 else set()
+        ck = self.load_checkpoint()
+        if ck and name in ck.get("tables", {}):
+            keep.add(ck["tables"][name])
+        removed = 0
+        for sid in snaps:
+            if sid not in keep:
+                os.remove(os.path.join(self._snapdir(name),
+                                       f"v{sid:06d}.json"))
+                removed += 1
+        referenced: set[str] = set()
+        for sid in self.snapshots(name):
+            referenced.update(self._manifest(name, sid)["files"])
+        deleted = 0
+        data_root = os.path.join(self._tdir(name), "data")
+        for dirpath, _, files in os.walk(data_root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                if f.endswith(".parquet") and p not in referenced:
+                    os.remove(p)
+                    deleted += 1
+        return removed, deleted
+
     def read(self, spark, name: str, snapshot_id: int | None = None):
         """Read the table at a snapshot (default: latest)."""
         snaps = self.snapshots(name)

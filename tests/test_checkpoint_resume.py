@@ -107,3 +107,60 @@ def test_tableio_empty_commit(spark, tmp_path):
     out = tio.read(spark, "t", sid)
     assert out.count() == 0
     assert out.columns == ["id", "v"]
+
+
+def test_tableio_compact_preserves_rows_and_history(spark, tmp_path):
+    tio = TableIO(str(tmp_path / "c"))
+    for w in range(4):  # 4 waves of small appends => many small files
+        df = spark.createDataFrame(
+            [(w * 10 + i, f"r{w}_{i}") for i in range(5)],
+            "id int, v string").repartition(4)
+        tio.commit("t", df)
+    before = sorted((r["id"], r["v"]) for r in tio.read(spark, "t").collect())
+    pre_sid = tio.snapshots("t")[-1]
+    n_files_before = len(tio._manifest("t", pre_sid)["files"])
+    sid = tio.compact(spark, "t", target_files=2)
+    m = tio._manifest("t", sid)
+    assert len(m["files"]) <= 2 < n_files_before
+    after = sorted((r["id"], r["v"]) for r in tio.read(spark, "t").collect())
+    assert after == before
+    # time travel to the pre-compaction snapshot still works
+    assert tio.read(spark, "t", pre_sid).count() == 20
+    # appends after compaction chain from the compacted snapshot
+    tio.commit("t", spark.createDataFrame([(99, "x")], "id int, v string"))
+    assert tio.read(spark, "t").count() == 21
+
+
+def test_tableio_expire_snapshots_vacuums_unreferenced(spark, tmp_path):
+    import os
+
+    tio = TableIO(str(tmp_path / "x"))
+    for w in range(3):
+        df = spark.createDataFrame([(w, "v")], "id int, v string")
+        tio.commit("t", df)
+    tio.compact(spark, "t", target_files=1)
+    all_sids = tio.snapshots("t")
+    removed, deleted = tio.expire_snapshots("t", keep_last=1)
+    assert removed == len(all_sids) - 1
+    assert deleted > 0
+    assert tio.snapshots("t") == [all_sids[-1]]
+    # the survivor still reads correctly, and no orphan parquet remains
+    assert tio.read(spark, "t").count() == 3
+    referenced = set(tio._manifest("t", all_sids[-1])["files"])
+    on_disk = set()
+    for dirpath, _, files in os.walk(str(tmp_path / "x" / "t" / "data")):
+        on_disk.update(os.path.join(dirpath, f)
+                       for f in files if f.endswith(".parquet"))
+    assert on_disk == referenced
+
+
+def test_tableio_expire_keeps_checkpoint_pin(spark, tmp_path):
+    tio = TableIO(str(tmp_path / "p"))
+    s0 = tio.commit("t", spark.createDataFrame([(1, "a")], "id int, v string"))
+    tio.commit("t", spark.createDataFrame([(2, "b")], "id int, v string"))
+    tio.commit("t", spark.createDataFrame([(3, "c")], "id int, v string"))
+    tio.checkpoint({"wave": 0}, {"t": s0})  # resume would read s0
+    removed, _ = tio.expire_snapshots("t", keep_last=1)
+    assert s0 in tio.snapshots("t")         # pinned survivor
+    assert removed == 1                      # only the middle one went
+    assert tio.read(spark, "t", s0).count() == 1
