@@ -2005,6 +2005,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return containment_pairs(d.unionByName(quotes), threshold=0.8)
 
+    def dedup_minhash_inc(spark, sf):
+        """Incremental LSH dedup (dedup.py:minhash_incremental_candidates):
+        odd doc_ids are 'this wave', even doc_ids are the already-indexed
+        corpus (minhash_band_index) — new-vs-index + new-vs-new candidate
+        pairs without recomputing the historical side."""
+        from librecrawl_spark.operators.dedup import (
+            minhash_band_index, minhash_incremental_candidates)
+
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        old = d.filter(F.col("doc_id") % 2 == 0)
+        new = d.filter(F.col("doc_id") % 2 == 1)
+        idx = minhash_band_index(old, n_hashes=4, n_bands=2)
+        pairs, _ = minhash_incremental_candidates(
+            new, idx, n_hashes=4, n_bands=2)
+        return pairs
+
     def sk_kmv_by_group(spark, sf):
         """Per-group KMV distinct estimate (sketch.py:kmv_distinct_by,
         k=256): distinct orderkeys per returnflag — the 'distinct URLs
@@ -2161,6 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": graph_hits,
         "sk_kmv_by_group": sk_kmv_by_group,
         "pipe_priority_sample": pipe_priority_sample,
+        "dedup_minhash_inc": dedup_minhash_inc,
     }
 
 
@@ -4489,5 +4506,32 @@ def oracle_sql() -> dict[str, str]:
             FROM p
             ORDER BY q DESC, doc_id ASC
             LIMIT 50
+        """,
+        "dedup_minhash_inc": rf"""
+            WITH s AS (SELECT doc_id, {shingles} AS sh FROM documents),
+            sig AS (
+              SELECT doc_id,
+                list_min(list_transform(sh, x -> md5('0:' || x))) AS mh0,
+                list_min(list_transform(sh, x -> md5('1:' || x))) AS mh1,
+                list_min(list_transform(sh, x -> md5('2:' || x))) AS mh2,
+                list_min(list_transform(sh, x -> md5('3:' || x))) AS mh3
+              FROM s WHERE len(sh) > 0),
+            bands AS (
+              SELECT doc_id, '0|' || mh0 || '|' || mh1 AS band_key FROM sig
+              UNION ALL
+              SELECT doc_id, '1|' || mh2 || '|' || mh3 FROM sig),
+            newb AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+            oldb AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+            vs_index AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     'index' AS against
+              FROM newb a JOIN oldb b
+                ON a.band_key = b.band_key AND a.doc_id <> b.doc_id),
+            in_wave AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     'wave' AS against
+              FROM newb a JOIN newb b
+                ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+            SELECT * FROM vs_index UNION ALL SELECT * FROM in_wave
         """,
     }

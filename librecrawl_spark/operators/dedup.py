@@ -102,13 +102,13 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     return out.select("doc_id", *[mh(i) for i in range(n_hashes)])
 
 
-def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
-                           n_hashes: int = N_MINHASH, n_bands: int = N_BANDS) -> DataFrame:
-    """LSH banding: docs sharing any band bucket become candidate pairs.
-    The band join shuffles on the band key only — never a cross join."""
-    # the signature computation (n_hashes md5 transforms per doc) feeds
-    # both sides of the band self-join — cache it so it runs once
-    sig = minhash_signatures(df, text_col, n_hashes).persist()
+def minhash_band_index(df: DataFrame, text_col: str = "text",
+                       n_hashes: int = N_MINHASH,
+                       n_bands: int = N_BANDS) -> DataFrame:
+    """(doc_id, band_key) rows — the persistable LSH index of a corpus
+    (band_key = band id '|' joined row hashes). This is the table an
+    incremental pipeline appends per wave and joins new docs against."""
+    sig = minhash_signatures(df, text_col, n_hashes)
     rows_per_band = n_hashes // n_bands
     bands = [
         F.concat_ws("|", F.lit(str(b)),
@@ -116,7 +116,16 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                     ).alias(f"band{b}")
         for b in range(n_bands)
     ]
-    banded = sig.select("doc_id", F.explode(F.array(*bands)).alias("band_key"))
+    return sig.select("doc_id", F.explode(F.array(*bands)).alias("band_key"))
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           n_hashes: int = N_MINHASH, n_bands: int = N_BANDS) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+    The band join shuffles on the band key only — never a cross join."""
+    # the band rows (n_hashes md5 transforms per doc) feed both sides of
+    # the band self-join — cache so the signatures compute once
+    banded = minhash_band_index(df, text_col, n_hashes, n_bands).persist()
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -126,6 +135,55 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
         .distinct()
     )
     return pairs
+
+
+def minhash_incremental_candidates(
+    new_docs: DataFrame, index: DataFrame, text_col: str = "text",
+    n_hashes: int = N_MINHASH, n_bands: int = N_BANDS,
+) -> tuple[DataFrame, DataFrame]:
+    """Per-wave incremental near-dup detection: candidates of the NEW
+    docs against an existing corpus' band ``index`` (from
+    minhash_band_index, persisted via TableIO across waves) plus the
+    wave-internal candidates — WITHOUT recomputing anything over the
+    historical corpus. Returns ``(pairs, new_bands)``:
+
+    - ``pairs``: (doc_a, doc_b, against) — ``against='index'`` rows pair
+      a new doc (doc_a) with an indexed doc (doc_b); ``against='wave'``
+      rows pair two new docs (doc_a < doc_b).
+    - ``new_bands``: the new docs' band rows, ready to append to the
+      index table for the next wave.
+
+    Completeness invariant (asserted in tests): index-build pairs ∪
+    incremental pairs == minhash_lsh_candidates over old ∪ new — i.e.
+    the incremental path finds exactly every pair involving a new doc.
+
+    Scale shape: one band-key hash join of O(wave) new rows against the
+    index (the index side shuffles once; store it bucketed by band_key
+    via storage/bucketed.py for an Exchange-free probe) + one O(wave)
+    self-join. Historical text is never re-read.
+    """
+    new_bands = minhash_band_index(new_docs, text_col, n_hashes,
+                                   n_bands).persist()
+    vs_index = (
+        new_bands.alias("a")
+        .join(index.alias("b"), F.col("a.band_key") == F.col("b.band_key"))
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.lit("index").alias("against"))
+        .distinct()
+    )
+    in_wave = (
+        new_bands.alias("a")
+        .join(new_bands.alias("b"),
+              (F.col("a.band_key") == F.col("b.band_key"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.lit("wave").alias("against"))
+        .distinct()
+    )
+    return vs_index.unionByName(in_wave), new_bands
 
 
 SIMHASH_BANDS = 4       # 4 bands x 16 bits = 64-bit sketch

@@ -318,3 +318,47 @@ class TestPrioritySample:
         got = priority_sample(df, "id", "w", 50).collect()
         n_heavy = sum(1 for r in got if r["w"] == 1000)
         assert n_heavy >= 40
+
+
+class TestMinhashIncremental:
+    DOCS = [
+        (1, "the quick brown fox jumps over the lazy dog again and again "
+            "with some more filler words to make shingles"),
+        (2, "the quick brown fox jumps over the lazy dog again and again "
+            "with some more filler words to make shingles"),     # dup of 1
+        (3, "completely different content about spark dataframes and "
+            "shuffle partitions in distributed execution engines"),
+        (4, "the quick brown fox jumps over the lazy dog again and again "
+            "with some more filler words to make shingles today"),  # near 1
+        (5, "another entirely unrelated document mentioning nothing that "
+            "overlaps with any of the previous texts at all honestly"),
+    ]
+
+    def test_incremental_covers_exactly_new_pairs(self, spark):
+        from librecrawl_spark.operators.dedup import (
+            minhash_band_index, minhash_incremental_candidates,
+            minhash_lsh_candidates)
+
+        df = spark.createDataFrame(self.DOCS, schema="doc_id long, text string")
+        old = df.filter("doc_id <= 2")
+        new = df.filter("doc_id >= 3")
+        idx = minhash_band_index(old)
+        pairs, new_bands = minhash_incremental_candidates(new, idx)
+        got = {(r["doc_a"], r["doc_b"], r["against"])
+               for r in pairs.collect()}
+        # full-corpus candidates, restricted to pairs touching a new doc
+        full = {(r["doc_a"], r["doc_b"])
+                for r in minhash_lsh_candidates(df).collect()}
+        want = set()
+        for a, b in full:
+            if a >= 3 and b >= 3:
+                want.add((a, b, "wave"))
+            elif b >= 3:                       # old doc_a < new doc_b
+                want.add((b, a, "index"))      # new doc is always doc_a
+            elif a >= 3:
+                want.add((a, b, "index"))
+        assert got == want
+        # the dup/near-dup of doc 1 must surface against the index
+        assert (4, 1, "index") in got or (4, 2, "index") in got
+        # band rows are appendable index rows for the new docs only
+        assert set(r["doc_id"] for r in new_bands.collect()) <= {3, 4, 5}
