@@ -114,3 +114,24 @@ def kmv_distinct_by(df: DataFrame, group_col: str, col: str,
         .select(group_col, "k_used", "kth_hash",
                 F.round(est, 4).alias("est_distinct"))
     )
+
+
+def kmv_merge(bottoms: DataFrame, k: int = 512) -> DataFrame:
+    """Merge any number of KMV bottom-k summaries (unioned ``kmv_bottom``
+    outputs, possibly from different partitions, waves, or engines) into
+    one estimate — the property that makes KMV a distributed sketch: the
+    k smallest distinct hashes of a union are a subset of the union of
+    each side's k smallest, so merging loses nothing. This is how
+    per-partition lineage sketches roll up to a crawl-wide distinct
+    count without touching row data again.
+    """
+    est = (
+        F.when(F.col("k_used") < k, F.col("k_used").cast("double"))
+        .otherwise(F.lit(float(k - 1)) * F.lit(_HASH_SPACE)
+                   / F.col("kth_hash").cast("double"))
+    )
+    return (
+        bottoms.select("h").distinct().orderBy("h").limit(k)
+        .agg(F.count("*").alias("k_used"), F.max("h").alias("kth_hash"))
+        .select("k_used", "kth_hash", F.round(est, 4).alias("est_distinct"))
+    )

@@ -9,6 +9,8 @@ import math
 import re
 from collections import Counter
 
+from pyspark.sql import functions as F
+
 
 def _py_kmv_hash(x) -> int:
     return int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)
@@ -362,3 +364,23 @@ class TestMinhashIncremental:
         assert (4, 1, "index") in got or (4, 2, "index") in got
         # band rows are appendable index rows for the new docs only
         assert set(r["doc_id"] for r in new_bands.collect()) <= {3, 4, 5}
+
+
+class TestKmvMerge:
+    def test_merge_equals_whole(self, spark):
+        from librecrawl_spark.operators.sketch import (kmv_bottom,
+                                                       kmv_distinct,
+                                                       kmv_merge)
+
+        vals = [f"u{i}" for i in range(3000)]
+        k = 32
+        df = spark.createDataFrame([(v,) for v in vals], schema="v string")
+        half_a = df.filter(F.length("v") <= 3)   # u0..u99
+        half_b = df.filter(F.length("v") > 3)
+        merged = kmv_merge(
+            kmv_bottom(half_a, "v", k).unionByName(kmv_bottom(half_b, "v", k)),
+            k).collect()[0]
+        whole = kmv_distinct(df, "v", k).collect()[0]
+        assert (merged["k_used"], merged["kth_hash"],
+                merged["est_distinct"]) == \
+               (whole["k_used"], whole["kth_hash"], whole["est_distinct"])
