@@ -2070,56 +2070,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return unigram_logprob(_t(spark, sf, "documents"))
 
     return {
-        "a1_stats_counts": a1_stats_counts,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_nation_revenue": q5_nation_revenue,
-        "u3_set_ops": u3_set_ops,
-        "a12_rollup": a12_rollup,
-        "a13_pivot": a13_pivot,
-        "w8_ntile": w8_ntile,
-        "w9_range_frame": w9_range_frame,
-        "a15_moments": a15_moments,
-        "w1_lag_delta": w1_lag_delta,
-        "c5_json_extract": c5_json_extract,
-        "c14_backoff_math": c14_backoff_math,
-        "a4_array_filter": a4_array_filter,
-        "j4_links_to_redirects": j4_links_to_redirects,
-        "j6_hreflang_reciprocity": j6_hreflang_reciprocity,
-        "j7_dup_candidates": j7_dup_candidates,
-        "i_issue_predicates": i_issue_predicates,
-        "i_sitewide_security": i_sitewide_security,
-        "c15_requeue_math": c15_requeue_math,
-        "p1_politeness_quota": p1_politeness_quota,
-        "u4_links_dedup": u4_links_dedup,
-        "c2_normalize_compare": c2_normalize_compare,
-        "c12_hreflang_codes": c12_hreflang_codes,
-        "a7_sitemap_health": a7_sitemap_health,
-        "i_sitemap_issues": i_sitemap_issues,
-        "s2_size_gate": s2_size_gate,
-        "f9_budget_cut": f9_budget_cut,
-        "q1_pricing_summary": q1_pricing_summary,
-        "j1_status_lookup_join": j1_status_lookup_join,
-        "j2_reverse_links": j2_reverse_links,
-        "j3_classify_join": j3_classify_join,
-        "j5_broken_sources": j5_broken_sources,
-        "j8_anti_join": j8_anti_join,
-        "w3_topk_per_group": w3_topk_per_group,
-        "a10_first_per_group": a10_first_per_group,
-        "u2_union_dedup": u2_union_dedup,
-        "f7_regex_filters": f7_regex_filters,
-        "c3_signature_counts": c3_signature_counts,
-        "a9_bigram_topk": a9_bigram_topk,
-        "w6_top_docs_cap": w6_top_docs_cap,
-        "dedup_fingerprint": dedup_fingerprint,
-        "dedup_minhash": dedup_minhash,
-        "dedup_simhash": dedup_simhash,
-        "dedup_simhash_pairs": dedup_simhash_pairs,
-        "dedup_jaccard_pairs": dedup_jaccard_pairs,
-        "sim_cosine_topk": sim_cosine_topk,
-        "text_tokens": text_tokens,
-        "text_quality": text_quality,
-        "text_langid": text_langid,
-        "events_tumbling_window": events_tumbling_window,
         "events_sessionize": events_sessionize,
         "events_session_window": events_session_window,
         "sim_neardup_exact": sim_neardup_exact,
@@ -2178,6 +2128,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk_kmv_by_group": sk_kmv_by_group,
         "pipe_priority_sample": pipe_priority_sample,
         "dedup_minhash_inc": dedup_minhash_inc,
+        "a1_stats_counts": a1_stats_counts,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_nation_revenue": q5_nation_revenue,
+        "u3_set_ops": u3_set_ops,
+        "a12_rollup": a12_rollup,
+        "a13_pivot": a13_pivot,
+        "w8_ntile": w8_ntile,
+        "w9_range_frame": w9_range_frame,
+        "a15_moments": a15_moments,
+        "w1_lag_delta": w1_lag_delta,
+        "c5_json_extract": c5_json_extract,
+        "c14_backoff_math": c14_backoff_math,
+        "a4_array_filter": a4_array_filter,
+        "j4_links_to_redirects": j4_links_to_redirects,
+        "j6_hreflang_reciprocity": j6_hreflang_reciprocity,
+        "j7_dup_candidates": j7_dup_candidates,
+        "i_issue_predicates": i_issue_predicates,
+        "i_sitewide_security": i_sitewide_security,
+        "c15_requeue_math": c15_requeue_math,
+        "p1_politeness_quota": p1_politeness_quota,
+        "u4_links_dedup": u4_links_dedup,
+        "c2_normalize_compare": c2_normalize_compare,
+        "c12_hreflang_codes": c12_hreflang_codes,
+        "a7_sitemap_health": a7_sitemap_health,
+        "i_sitemap_issues": i_sitemap_issues,
+        "s2_size_gate": s2_size_gate,
+        "f9_budget_cut": f9_budget_cut,
+        "q1_pricing_summary": q1_pricing_summary,
+        "j1_status_lookup_join": j1_status_lookup_join,
+        "j2_reverse_links": j2_reverse_links,
+        "j3_classify_join": j3_classify_join,
+        "j5_broken_sources": j5_broken_sources,
+        "j8_anti_join": j8_anti_join,
+        "w3_topk_per_group": w3_topk_per_group,
+        "a10_first_per_group": a10_first_per_group,
+        "u2_union_dedup": u2_union_dedup,
+        "f7_regex_filters": f7_regex_filters,
+        "c3_signature_counts": c3_signature_counts,
+        "a9_bigram_topk": a9_bigram_topk,
+        "w6_top_docs_cap": w6_top_docs_cap,
+        "dedup_fingerprint": dedup_fingerprint,
+        "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
+        "dedup_jaccard_pairs": dedup_jaccard_pairs,
+        "sim_cosine_topk": sim_cosine_topk,
+        "text_tokens": text_tokens,
+        "text_quality": text_quality,
+        "text_langid": text_langid,
+        "events_tumbling_window": events_tumbling_window,
     }
 
 
@@ -2587,8 +2587,8 @@ def oracle_sql() -> dict[str, str]:
         "a12_rollup": """
             SELECT o_orderstatus, o_orderpriority,
                    count(*) AS n_orders,
-                   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
-                     AS revenue_cents,
+                   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                     AS BIGINT) AS revenue_cents,
                    grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
                      AS gid
             FROM orders
@@ -2596,11 +2596,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a13_pivot": """
             SELECT user_id,
-                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
             FROM events GROUP BY user_id
         """,
         "w8_ntile": """
@@ -3689,10 +3689,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q12_priority_shipping": """
             SELECT l_returnflag,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                       THEN 1 ELSE 0 END) AS high_line_count,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                       THEN 0 ELSE 1 END) AS low_line_count
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             WHERE year(l_shipdate) = 1997
@@ -4189,14 +4189,14 @@ def oracle_sql() -> dict[str, str]:
                      OR (contains(lt, kw) AND contains(lh, kw)))),
             g AS (
               SELECT kw AS keyword, count(*) AS page_count,
-                sum(CASE WHEN page_type='Service' THEN 1 ELSE 0 END) AS n_service,
-                sum(CASE WHEN page_type='Blog' THEN 1 ELSE 0 END) AS n_blog,
-                sum(CASE WHEN page_type='Profile' THEN 1 ELSE 0 END) AS n_profile,
-                sum(CASE WHEN page_type='Review' THEN 1 ELSE 0 END) AS n_review,
-                sum(CASE WHEN page_type='Location' THEN 1 ELSE 0 END) AS n_location,
-                sum(CASE WHEN page_type='System' THEN 1 ELSE 0 END) AS n_system,
-                sum(CASE WHEN page_type='Homepage' THEN 1 ELSE 0 END) AS n_homepage,
-                sum(CASE WHEN prom > 60 THEN 1 ELSE 0 END) AS n_hi
+                CAST(sum(CASE WHEN page_type='Service' THEN 1 ELSE 0 END) AS BIGINT) AS n_service,
+                CAST(sum(CASE WHEN page_type='Blog' THEN 1 ELSE 0 END) AS BIGINT) AS n_blog,
+                CAST(sum(CASE WHEN page_type='Profile' THEN 1 ELSE 0 END) AS BIGINT) AS n_profile,
+                CAST(sum(CASE WHEN page_type='Review' THEN 1 ELSE 0 END) AS BIGINT) AS n_review,
+                CAST(sum(CASE WHEN page_type='Location' THEN 1 ELSE 0 END) AS BIGINT) AS n_location,
+                CAST(sum(CASE WHEN page_type='System' THEN 1 ELSE 0 END) AS BIGINT) AS n_system,
+                CAST(sum(CASE WHEN page_type='Homepage' THEN 1 ELSE 0 END) AS BIGINT) AS n_homepage,
+                CAST(sum(CASE WHEN prom > 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
               FROM f GROUP BY kw HAVING count(*) >= 2),
             prim AS (
               SELECT kw AS keyword, url AS primary_url,

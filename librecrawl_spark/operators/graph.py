@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, functions as F
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iters: int = 3, damping: float = 0.85,
-             round_to: int = 8) -> DataFrame:
+             round_to: int = 8, checkpoint: bool = True) -> DataFrame:
     """Power-iteration PageRank over ``edges``; returns (node, pr).
 
     Node set = every id appearing as src or dst. Per round::
@@ -48,6 +48,11 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     The rank frame is O(V) and lineage is truncated per round via
     localCheckpoint so the plan stays O(1)-deep at any iteration count
     (same rationale as dedup.connected_components).
+
+    ``checkpoint=False`` keeps the full per-round lineage in the plan —
+    results are identical; it exists so a plan audit can explain() one
+    unrolled round (checkpointing collapses the plan to an ExistingRDD
+    scan, hiding the per-round joins from explain).
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     nodes = (
@@ -95,8 +100,9 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                     round_to,
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=False)
         )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
     out = ranks
     nodes.unpersist()
     return out
@@ -174,7 +180,8 @@ def degree_histogram(edges: DataFrame, src: str = "src",
 
 
 def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
-         iters: int = 2, round_to: int = 8) -> DataFrame:
+         iters: int = 2, round_to: int | None = 8,
+         checkpoint: bool = True) -> DataFrame:
     """Kleinberg HITS hubs & authorities over the link graph — the
     complement of pagerank for crawl analytics: authorities are the
     pages good hubs point at (content worth fetching first), hubs are
@@ -193,6 +200,13 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     Scale shape per round: two edge-to-score hash joins + two
     groupBy partial aggregations + two 1-row broadcast normalizers.
     Scores are O(V); lineage truncated per round via localCheckpoint.
+
+    Precondition for replay-stable rounding: n_nodes ≲ 10^round_to,
+    else per-round rounding collapses scores toward 0. Beyond that the
+    init falls back to the unrounded 1/n and every normalizer division
+    is guarded (Σ==0 → hold the uniform distribution instead of
+    NaN/Inf); pass ``round_to=None`` to disable rounding entirely for
+    10^9+-node graphs where cross-engine replay parity is not needed.
     Returns (node, hub, authority).
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
@@ -207,8 +221,23 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
         nodes.unpersist()
         return e.select(F.col("s").alias("node"), F.lit(0.0).alias("hub"),
                         F.lit(0.0).alias("authority")).limit(0)
-    h = nodes.select(
-        "node", F.round(F.lit(1.0 / n_nodes), round_to).alias("hub"))
+    uniform = 1.0 / n_nodes
+    init = uniform if round_to is None else round(uniform, round_to)
+    if init == 0.0:
+        init = uniform  # n ≳ 10^round_to: rounding would zero the start
+
+    def _rnd(col):
+        return col if round_to is None else F.round(col, round_to)
+
+    def _norm(raw):
+        # guarded L1 normalize: if rounding flushed every score to 0
+        # (Σ _raw == 0) hold the uniform distribution instead of 0/0.
+        return F.when(
+            F.coalesce(F.col("_t"), F.lit(0.0)) != 0.0,
+            _rnd(F.coalesce(raw, F.lit(0.0)) / F.col("_t")),
+        ).otherwise(F.lit(init))
+
+    h = nodes.select("node", F.lit(init).alias("hub"))
     a = None
     for _ in range(iters):
         araw = (
@@ -221,11 +250,10 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
         a = (
             nodes.join(araw, "node", "left")
             .join(F.broadcast(atot))
-            .select("node",
-                    F.round(F.coalesce(F.col("_raw"), F.lit(0.0))
-                            / F.col("_t"), round_to).alias("authority"))
-            .localCheckpoint(eager=False)
+            .select("node", _norm(F.col("_raw")).alias("authority"))
         )
+        if checkpoint:
+            a = a.localCheckpoint(eager=False)
         hraw = (
             e.join(a.select(F.col("node").alias("_an"), "authority"),
                    e["d"] == F.col("_an"))
@@ -236,11 +264,10 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
         h = (
             nodes.join(hraw, "node", "left")
             .join(F.broadcast(htot))
-            .select("node",
-                    F.round(F.coalesce(F.col("_raw"), F.lit(0.0))
-                            / F.col("_t"), round_to).alias("hub"))
-            .localCheckpoint(eager=False)
+            .select("node", _norm(F.col("_raw")).alias("hub"))
         )
+        if checkpoint:
+            h = h.localCheckpoint(eager=False)
     out = h.join(a, "node").select("node", "hub", "authority")
     nodes.unpersist()
     return out

@@ -132,15 +132,20 @@ class TableIO:
                 os.remove(os.path.join(self._snapdir(name),
                                        f"v{sid:06d}.json"))
                 removed += 1
+        # Compare realpaths: manifests store paths as spelled at commit
+        # time, which may differ from this session's root spelling
+        # (relative vs absolute, './', symlinks) — a raw string compare
+        # would treat every live file as orphaned and delete it.
         referenced: set[str] = set()
         for sid in self.snapshots(name):
-            referenced.update(self._manifest(name, sid)["files"])
+            referenced.update(os.path.realpath(p)
+                              for p in self._manifest(name, sid)["files"])
         deleted = 0
         data_root = os.path.join(self._tdir(name), "data")
         for dirpath, _, files in os.walk(data_root):
             for f in files:
                 p = os.path.join(dirpath, f)
-                if f.endswith(".parquet") and p not in referenced:
+                if f.endswith(".parquet") and os.path.realpath(p) not in referenced:
                     os.remove(p)
                     deleted += 1
         return removed, deleted

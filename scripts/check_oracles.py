@@ -44,8 +44,15 @@ def _hash_rows(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
+    results = {}
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -67,6 +74,7 @@ def main():
 
     qs, osql = E.queries(), E.oracle_sql()
     bad = 0
+    import time
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -75,9 +83,13 @@ def main():
             try:
                 n = fn(spark, sf_dir).count()
                 print(f"  spark rows={n}")
+                results[name] = {"spark_rows": n, "oracle_rows": None,
+                                 "rows_match": None, "schema_match": None,
+                                 "hash_match": None, "err": None}
             except Exception as e:
                 bad += 1
                 print(f"  SPARK ERROR: {e}")
+                results[name] = {"err": f"{type(e).__name__}: {str(e)[:300]}"}
             continue
         try:
             sdf = fn(spark, sf_dir)
@@ -86,6 +98,7 @@ def main():
         except Exception as e:
             bad += 1
             print(f"{name}: SPARK ERROR: {type(e).__name__}: {str(e)[:300]}")
+            results[name] = {"err": f"SPARK {type(e).__name__}: {str(e)[:300]}"}
             continue
         try:
             res = con.execute(osql[name])
@@ -94,6 +107,7 @@ def main():
         except Exception as e:
             bad += 1
             print(f"{name}: DUCK ERROR: {type(e).__name__}: {str(e)[:300]}")
+            results[name] = {"err": f"DUCK {type(e).__name__}: {str(e)[:300]}"}
             continue
         rows_ok = len(srows) == len(orows)
         schema_ok = sorted(scols) == sorted(ocols)
@@ -102,6 +116,9 @@ def main():
         status = "OK" if (rows_ok and schema_ok and hash_ok) else "MISMATCH"
         if status != "OK":
             bad += 1
+        results[name] = {"spark_rows": len(srows), "oracle_rows": len(orows),
+                         "rows_match": rows_ok, "schema_match": schema_ok,
+                         "hash_match": hash_ok, "err": None}
         print(f"{name}: {status} rows={len(srows)}/{len(orows)} "
               f"schema={'ok' if schema_ok else f'{sorted(scols)} vs {sorted(ocols)}'} "
               f"hash={'ok' if hash_ok else 'BAD'}")
@@ -115,6 +132,11 @@ def main():
                     print(f"  spark: {a[:220]}")
                     print(f"  duck : {b[:220]}")
                     break
+    if json_path:
+        import json
+        with open(json_path, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
+        print(f"wrote {json_path} ({len(results)} queries)")
     print("DONE", "FAIL" if bad else "ALL-OK", f"bad={bad}")
     return 1 if bad else 0
 
