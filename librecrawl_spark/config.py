@@ -30,6 +30,10 @@ class CrawlConfig:
     polite_mode: bool = False
     enable_duplication_check: bool = True
     duplication_threshold: float = 0.85     # issue_detector.py:1299-1431
+    # J7 blocking: "auto" = exact lossless band join below
+    # issues.AUTO_MINHASH_MIN_PAGES pages, MinHash OR-band above;
+    # "exact" / "minhash" force a path
+    duplicate_blocking: str = "auto"
     user_agent: str = "LibreCrawlSpark/0.1"
     include_extensions: tuple[str, ...] = ()
     exclude_extensions: tuple[str, ...] = (
@@ -55,6 +59,12 @@ class CrawlConfig:
     #    to their recovery wave.
     retry_mode: str = "inline"
     wave_seconds: float = 60.0              # politeness budget window per wave
+    # storage maintenance cadence: every K committed waves, compact the
+    # append tables (pages/links/sources) into a bounded file count and
+    # expire unpinned snapshot manifests — without it a 10^5-wave crawl
+    # accumulates 10^5 manifest generations and millions of small files.
+    # 0 disables (tests that assert per-wave snapshot history use 0).
+    maintenance_every_waves: int = 64
     host_salt_buckets: int = 16             # salted repartition fan-out for hot hosts
     bloom_expected_items: int = 10_000_000  # seen-set bloom sizing at 1e10 design scale
     bloom_fpp: float = 0.01

@@ -1144,6 +1144,7 @@ def detect_all_issues(pages: DataFrame, links: DataFrame, *,
                       sitemap_urls: DataFrame | None = None,
                       duplication_threshold: float = 0.85,
                       enable_duplication_check: bool = True,
+                      duplicate_blocking: str = "auto",
                       exclusion_patterns: tuple[str, ...] = ()) -> DataFrame:
     """The full issue report — engine analogue of running the
     reference's ``detect_issues`` over every crawled result plus its
@@ -1174,7 +1175,9 @@ def detect_all_issues(pages: DataFrame, links: DataFrame, *,
         parts.append(unsafe_cross_origin_issues(pages_f).select(*core))
     if enable_duplication_check:
         parts.append(
-            duplicate_content_issues(pages_f, duplication_threshold).select(*core))
+            duplicate_content_issues(
+                pages_f, duplication_threshold,
+                blocking=duplicate_blocking).select(*core))
     out = parts[0]
     for part in parts[1:]:
         out = out.unionByName(part)
@@ -1186,6 +1189,15 @@ def detect_all_issues(pages: DataFrame, links: DataFrame, *,
 # --- J7: duplicate-content detection (blocked, provably lossless) ----------
 
 DUP_WEIGHTS = {"title": 0.35, "desc": 0.35, "h1": 0.20, "word_count": 0.10}
+
+# blocking="auto" switches J7 from the exact (lossless) length-band
+# join to the MinHash OR-band conjunct once the page count passes this:
+# below it the exact path's band-join fan-out is cheap and reference
+# parity is bit-exact; above it the extra band keys cut candidate
+# enumeration ~5-10x at a documented >98% recall for true pairs at the
+# 0.85 threshold (see dup_candidate_pairs). 10^7-page crawls land on
+# the scale path without anyone reading a docstring.
+AUTO_MINHASH_MIN_PAGES = 2_000_000
 
 
 def dup_candidate_pairs(pages: DataFrame, threshold: float = 0.85,
@@ -1360,9 +1372,33 @@ def duplicate_content_pairs(pages: DataFrame, threshold: float = 0.85,
     )
 
 
-def duplicate_content_issues(pages: DataFrame, threshold: float = 0.85) -> DataFrame:
-    """Two issue rows per duplicate pair (issue_detector.py:1404-1417)."""
-    p = duplicate_content_pairs(pages, threshold)
+def duplicate_content_issues(pages: DataFrame, threshold: float = 0.85,
+                             blocking: str = "auto") -> DataFrame:
+    """Two issue rows per duplicate pair (issue_detector.py:1404-1417).
+
+    ``blocking``: "exact" = lossless length-band join only (reference
+    parity, default below AUTO_MINHASH_MIN_PAGES); "minhash" = conjoin
+    the title MinHash OR-band key (scale path, ~5-10x fewer candidates,
+    >98% recall at the 0.85 threshold); "auto" = count pages and pick —
+    the count is one cheap driver action paid only by this whole-crawl
+    analysis call, never by the wave loop."""
+    if blocking == "auto":
+        n_pages = pages.count()
+        approx = n_pages >= AUTO_MINHASH_MIN_PAGES
+        if approx:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "duplicate-content check: %d pages >= %d — engaging the "
+                "MinHash OR-band blocking path (recall for a true pair "
+                "with title-shingle Jaccard J is 1-(1-J^2)^4, >98%% at "
+                "J>=0.8; pass blocking='exact' to force the lossless "
+                "band join)", n_pages, AUTO_MINHASH_MIN_PAGES)
+    elif blocking in ("exact", "minhash"):
+        approx = blocking == "minhash"
+    else:
+        raise ValueError(f"unknown duplicate blocking mode: {blocking!r}")
+    p = duplicate_content_pairs(pages, threshold, approx_minhash=approx)
     a = p.select(
         F.col("url_a").alias("url"),
         F.concat(F.lit("Content is "), F.col("pct"), F.lit("% similar to "),

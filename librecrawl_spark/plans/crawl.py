@@ -52,20 +52,37 @@ class CrawlResult:
     # unique parsed sitemap page URLs (crawler.py:366) — the J3 input;
     # None when sitemap discovery was off or the crawl resumed
     sitemap_urls: DataFrame | None = None
+    # the crawl's config: issues() defaults its duplication knobs from
+    # here so a 10^7-page crawl lands on the J7 scale path without the
+    # caller re-stating config (None for hand-built results)
+    config: CrawlConfig | None = None
 
-    def issues(self, *, duplication_threshold: float = 0.85,
-               enable_duplication_check: bool = True,
-               exclusion_patterns: tuple[str, ...] = ()) -> DataFrame:
+    def issues(self, *, duplication_threshold: float | None = None,
+               enable_duplication_check: bool | None = None,
+               duplicate_blocking: str | None = None,
+               exclusion_patterns: tuple[str, ...] | None = None) -> DataFrame:
         """The full issue report in one call — the engine analogue of
         the reference's /api/crawl_status issues list (main.py:968-1003):
         per-page + whole-crawl + sitemap issue rows when the crawl
         discovered a sitemap."""
         from librecrawl_spark.operators.issues import detect_all_issues
 
+        cfg = self.config
+        if duplication_threshold is None:
+            duplication_threshold = cfg.duplication_threshold if cfg else 0.85
+        if enable_duplication_check is None:
+            enable_duplication_check = (cfg.enable_duplication_check
+                                        if cfg else True)
+        if duplicate_blocking is None:
+            duplicate_blocking = getattr(cfg, "duplicate_blocking", "auto")                 if cfg else "auto"
+        if exclusion_patterns is None:
+            exclusion_patterns = (tuple(cfg.issue_exclusion_patterns)
+                                  if cfg else ())
         return detect_all_issues(
             self.pages, self.links, sitemap_urls=self.sitemap_urls,
             duplication_threshold=duplication_threshold,
             enable_duplication_check=enable_duplication_check,
+            duplicate_blocking=duplicate_blocking,
             exclusion_patterns=tuple(exclusion_patterns),
         )
 
@@ -286,6 +303,32 @@ class CrawlEngine:
         self.tio.checkpoint(
             {k: st[k] for k in ("crawled", "next_seq", "wave")}, snaps
         )
+        k = self.config.maintenance_every_waves
+        if k and st["wave"] > 0 and st["wave"] % k == 0:
+            self._maintain(snaps)
+
+    def _maintain(self, snaps: dict) -> None:
+        """Every-K-waves storage maintenance (config
+        .maintenance_every_waves): bin-pack the append tables' small
+        per-wave files (compact_small — O(small files) per run, never a
+        full-table rewrite), re-pin the checkpoint at the compacted
+        snapshots, then expire unpinned manifests + vacuum orphaned
+        data files on every table (the overwrite-mode state tables need
+        only the expiry — each wave's overwrite is already one fresh
+        file set, but its predecessors' manifests and files accumulate).
+        Order matters for crash-atomicity: compaction only ADDS a
+        snapshot (a crash before the re-pin resumes from the
+        pre-compact pin and gc_to drops the extra snapshot, exactly as
+        for a torn append); expiry runs only AFTER the checkpoint pins
+        the compacted generation, so every file the pinned manifests
+        reference survives — the kill-and-resume suite crosses this
+        boundary (tests/test_checkpoint_resume.py)."""
+        ck = self.tio.load_checkpoint()
+        for name in ("pages", "links", "sources"):
+            snaps[name] = self.tio.compact_small(self.spark, name)
+        self.tio.checkpoint(ck["state"], snaps)
+        for name in list(snaps):
+            self.tio.expire_snapshots(name, keep_last=1)
 
     # -------------------------------------------------------------------- run
     def run(self) -> CrawlResult:
@@ -581,7 +624,7 @@ class CrawlEngine:
             sm_df = self.spark.createDataFrame(
                 [(u,) for u in dict.fromkeys(self._sitemap_locs_raw)], "url string")
         return CrawlResult(pages_all, links_all, st["seen"], traps_out, lineage,
-                           stats, sitemap_urls=sm_df)
+                           stats, sitemap_urls=sm_df, config=self.config)
 
     @staticmethod
     def _union(parts: list[DataFrame]) -> DataFrame | None:

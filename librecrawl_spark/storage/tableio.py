@@ -113,6 +113,53 @@ class TableIO:
         df = self.read(spark, name).coalesce(max(1, target_files))
         return self.commit(name, df, mode="overwrite")
 
+    def compact_small(self, spark, name: str,
+                      small_bytes: int = 32 * 1024 * 1024,
+                      target_files: int = 8) -> int:
+        """Bin-packing compaction — Iceberg's rewrite_data_files with a
+        size filter: rewrite ONLY data files under ``small_bytes`` (the
+        per-wave small appends) into ``target_files`` packed files,
+        leaving already-large files untouched. Publishes a snapshot
+        whose file list = untouched large files + the packed rewrite.
+        Cost per maintenance run is O(bytes in small files), NOT
+        O(table) — the property that makes an every-K-waves cadence
+        viable over a 10^5-wave crawl, where full compact() would be
+        O(n^2) total rewrite. Row-identical by construction (same rows,
+        different file layout); prior snapshots keep their file lists,
+        so time travel and checkpoint pins are unaffected until
+        expire_snapshots reclaims them. Returns the new snapshot id
+        (or the current one unchanged when there is nothing to pack)."""
+        snaps = self.snapshots(name)
+        if not snaps:
+            return -1
+        m = self._manifest(name, snaps[-1])
+        small = [p for p in m["files"]
+                 if os.path.exists(p) and os.path.getsize(p) < small_bytes]
+        if len(small) <= max(1, target_files):
+            return snaps[-1]
+        small_set = set(small)
+        keep = [p for p in m["files"] if p not in small_set]
+        tdir = self._tdir(name)
+        files_dir = os.path.join(tdir, "data", uuid.uuid4().hex[:12])
+        (spark.read.parquet(*small).coalesce(max(1, target_files))
+         .write.mode("overwrite").parquet(files_dir))
+        new_files = [os.path.join(files_dir, f) for f in os.listdir(files_dir)
+                     if f.endswith(".parquet")]
+        sid = snaps[-1] + 1
+        manifest = {
+            "snapshot_id": sid,
+            "parent": snaps[-1],
+            "mode": "compact",
+            "ts": time.time(),
+            "files": sorted(keep) + sorted(new_files),
+            "schema": m["schema"],
+        }
+        tmp = os.path.join(self._snapdir(name), f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self._snapdir(name), f"v{sid:06d}.json"))
+        return sid
+
     def expire_snapshots(self, name: str, keep_last: int = 1) -> tuple[int, int]:
         """Drop snapshot manifests older than the newest ``keep_last``
         and physically delete data files no remaining manifest

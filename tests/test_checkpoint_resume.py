@@ -164,3 +164,90 @@ def test_tableio_expire_keeps_checkpoint_pin(spark, tmp_path):
     assert s0 in tio.snapshots("t")         # pinned survivor
     assert removed == 1                      # only the middle one went
     assert tio.read(spark, "t", s0).count() == 1
+
+
+def test_tableio_compact_small_binpacks_only_small_files(spark, tmp_path):
+    """compact_small rewrites only sub-threshold files: large files keep
+    their exact paths in the new manifest (no O(table) rewrite), rows
+    are identical, and manifest count is reclaimable by expire."""
+    import os
+
+    tio = TableIO(str(tmp_path / "cs"))
+    # v must not snappy-compress below the small_bytes threshold, so
+    # build ~128B of effectively incompressible content per row
+    big = spark.range(0, 50_000).selectExpr(
+        "id",
+        "concat(md5(string(id)), md5(string(id + 1)), md5(string(id + 2)),"
+        " md5(string(id + 3))) AS v").coalesce(1)
+    tio.commit("t", big, mode="append")
+    big_files = set(tio._manifest("t", tio.snapshots("t")[-1])["files"])
+    for i in range(6):  # six tiny per-wave appends
+        tio.commit("t", spark.range(i * 10, i * 10 + 10)
+                   .selectExpr("id", "'w' AS v"), mode="append")
+    before = tio._manifest("t", tio.snapshots("t")[-1])["files"]
+    sid = tio.compact_small(spark, "t", small_bytes=1024 * 1024, target_files=2)
+    after = tio._manifest("t", sid)["files"]
+    assert big_files <= set(after)          # large files untouched, same paths
+    assert len(after) < len(before)
+    assert tio.read(spark, "t", sid).count() == 50_000 + 60
+    assert (sorted(r["id"] for r in tio.read(spark, "t", sid)
+                   .filter("v = 'w'").collect())
+            == sorted(list(range(0, 10)) + list(range(10, 20)) +
+                      list(range(20, 30)) + list(range(30, 40)) +
+                      list(range(40, 50)) + list(range(50, 60))))
+    # append after compaction chains from the compacted file list
+    tio.commit("t", spark.createDataFrame([(99, "z")], "id long, v string"),
+               mode="append")
+    assert tio.read(spark, "t").count() == 50_000 + 61
+    # nothing to pack -> same snapshot id back
+    assert tio.compact_small(spark, "t", small_bytes=10, target_files=2) == \
+        tio.snapshots("t")[-1]
+
+
+def test_maintenance_wave_loop_bounds_files_and_resumes(spark, tmp_path):
+    """Wave-loop maintenance (config.maintenance_every_waves): a crawl
+    with a 1-wave cadence keeps manifest generations bounded (expiry
+    collapses history to the pinned generation), matches the
+    no-maintenance run row-for-row, and a kill-and-resume across a
+    maintenance boundary still reconstructs the uninterrupted result."""
+    import os
+
+    site = generate_site(SITE)
+    full = mk_engine(spark, site).run()
+
+    cfg_m = CrawlConfig(max_depth=3, max_urls=60, discover_sitemaps=False,
+                        maintenance_every_waves=1)
+
+    def mk(ckdir, **kw):
+        docs, hosts, _ = site_to_spark(spark, site)
+        return CrawlEngine(spark, docs, hosts, site.base_url, cfg_m,
+                           seed_urls=[s["url"] for s in site.seeds],
+                           checkpoint_dir=ckdir, **kw)
+
+    ckdir = str(tmp_path / "mw")
+    res = mk(ckdir).run()
+    assert snap(res) == snap(full)
+    tio = TableIO(ckdir)
+    for name in ("pages", "links", "sources", "seen", "pending"):
+        # expiry ran each wave: only the pinned generation (+ at most the
+        # final wave's commit) survives
+        assert len(tio.snapshots(name)) <= 2, (name, tio.snapshots(name))
+    # no orphaned data files: every on-disk parquet is referenced
+    for name in ("pages", "links"):
+        referenced = set()
+        for sid in tio.snapshots(name):
+            referenced.update(os.path.realpath(p)
+                              for p in tio._manifest(name, sid)["files"])
+        on_disk = set()
+        droot = os.path.join(ckdir, name, "data")
+        for dirpath, _, files in os.walk(droot):
+            on_disk.update(os.path.realpath(os.path.join(dirpath, f))
+                           for f in files if f.endswith(".parquet"))
+        assert on_disk == referenced, name
+
+    ckdir2 = str(tmp_path / "mw2")
+    partial = mk(ckdir2, max_waves=2).run()
+    assert partial.stats["crawled"] < full.stats["crawled"]
+    resumed = mk(ckdir2).run()
+    assert resumed.stats["resumed"] is True
+    assert snap(resumed) == snap(full)

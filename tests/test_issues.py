@@ -562,3 +562,33 @@ def test_dup_approx_minhash_scale_path(pages):
             print(f"DROPPED {r['url']} t={r['t']!r} "
                   f"mh={[v[:8] for v in r['mh']]}")
     assert approx == exact, f"minhash band dropped {exact - approx}"
+
+
+def test_dup_blocking_auto_routes_by_page_count(pages, monkeypatch, caplog):
+    """blocking='auto' (the detect_all_issues default): below
+    AUTO_MINHASH_MIN_PAGES it is byte-identical to the exact path; with
+    the threshold patched below the fixture size it engages the MinHash
+    OR-band conjunct (plan-asserted via the band-key join condition) and
+    on this fixture still finds every pair."""
+    pg, _ = pages
+    exact = {(r["url"], r["details"])
+             for r in I.duplicate_content_issues(pg, blocking="exact").collect()}
+    auto = {(r["url"], r["details"])
+            for r in I.duplicate_content_issues(pg, blocking="auto").collect()}
+    assert auto == exact  # fixture is far below the auto threshold
+
+    monkeypatch.setattr(I, "AUTO_MINHASH_MIN_PAGES", 1)
+    routed = I.duplicate_content_pairs(pg, approx_minhash=True)
+    plan = routed._jdf.queryExecution().optimizedPlan().toString()
+    assert "mh_val" in plan  # the band-key equi-conjunct is in the join
+    import logging
+    with caplog.at_level(logging.WARNING, logger=I.__name__):
+        auto_hi = {(r["url"], r["details"])
+                   for r in I.duplicate_content_issues(pg, blocking="auto").collect()}
+    assert any("MinHash OR-band" in r.message for r in caplog.records)
+    assert auto_hi <= exact
+    assert auto_hi == exact  # >=0.8 title-Jaccard fixture: full recall
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        I.duplicate_content_issues(pg, blocking="nope")
