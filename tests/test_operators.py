@@ -420,6 +420,124 @@ class TestMultimodal:
         assert out == meta
 
 
+    def test_png_pixel_decode_all_filters_roundtrip(self):
+        """decode_png is a REAL decoder: every PNG filter type
+        (None/Sub/Up/Average/Paeth) round-trips a random RGB image to
+        the exact Rec.601 luma grid."""
+        import random
+        import struct
+        import zlib
+
+        from librecrawl_spark.operators.multimodal import decode_png
+
+        def enc(pixel_rows, filt, ctype=2):
+            nch = {0: 1, 2: 3, 6: 4}[ctype]
+            w, h = len(pixel_rows[0]), len(pixel_rows)
+
+            def chunk(typ, data):
+                return (struct.pack(">I", len(data)) + typ + data
+                        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+            raw, prev = b"", bytes(w * nch)
+            for row in pixel_rows:
+                line = bytes(v for px in row for v in px)
+                out = bytearray(line)
+                if filt == 1:
+                    for i in range(len(line) - 1, nch - 1, -1):
+                        out[i] = (line[i] - line[i - nch]) & 0xFF
+                elif filt == 2:
+                    for i in range(len(line)):
+                        out[i] = (line[i] - prev[i]) & 0xFF
+                elif filt == 3:
+                    for i in range(len(line)):
+                        a = line[i - nch] if i >= nch else 0
+                        out[i] = (line[i] - ((a + prev[i]) >> 1)) & 0xFF
+                elif filt == 4:
+                    for i in range(len(line)):
+                        a = line[i - nch] if i >= nch else 0
+                        b, c = prev[i], (prev[i - nch] if i >= nch else 0)
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                        out[i] = (line[i] - pr) & 0xFF
+                raw += bytes([filt]) + bytes(out)
+                prev = line
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+            return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+        random.seed(5)
+        px = [[(random.randrange(256), random.randrange(256), random.randrange(256))
+               for _ in range(13)] for _ in range(9)]
+        want = [[round(0.299 * r + 0.587 * g + 0.114 * b) for (r, g, b) in row]
+                for row in px]
+        for filt in range(5):
+            assert decode_png(enc(px, filt)) == want, filt
+        # RGBA: alpha ignored
+        pxa = [[(r, g, b, 17) for (r, g, b) in row] for row in px]
+        assert decode_png(enc(pxa, 4, ctype=6)) == want
+        # grayscale
+        gray = [[(v,) for v in row] for row in want]
+        assert decode_png(enc(gray, 2, ctype=0)) == want
+        # not-a-png / truncated -> None, never raises
+        assert decode_png(b"\xff\xd8jpeg") is None
+        assert decode_png(enc(px, 0)[:40]) is None
+
+    def test_png_real_features_analytic_oracles(self):
+        """dHash + mean_luma on analytically-known images: a strictly
+        left-to-right-brightening gradient hashes to ALL-ONES (every
+        adjacent grid pair increases), a top-to-bottom gradient to
+        ALL-ZEROS (no horizontal change), both with mean_luma exactly
+        0.5; a solid-color PNG hashes to all-zeros with the Rec.601
+        luma of its color."""
+        import struct
+        import zlib
+
+        from librecrawl_spark.operators.multimodal import (
+            make_test_png, real_image_features)
+
+        def enc_rgb(pixel_rows):
+            w, h = len(pixel_rows[0]), len(pixel_rows)
+
+            def chunk(typ, data):
+                return (struct.pack(">I", len(data)) + typ + data
+                        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+            raw = b"".join(bytes([0]) + bytes(v for px in row for v in px)
+                           for row in pixel_rows)
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+        grad_h = [[((x * 255) // 15,) * 3 for x in range(16)] for _ in range(16)]
+        grad_v = [[((y * 255) // 15,) * 3 for _ in range(16)] for y in range(16)]
+        fh = real_image_features(enc_rgb(grad_h))
+        fv = real_image_features(enc_rgb(grad_v))
+        assert fh["phash"] == "f" * 16 and fh["mean_luma"] == 0.5
+        assert fv["phash"] == "0" * 16 and fv["mean_luma"] == 0.5
+
+        f = real_image_features(make_test_png(20, 10, rgb=(200, 30, 30)))
+        luma = round(0.299 * 200 + 0.587 * 30 + 0.114 * 30)
+        assert f == {"width": 20, "height": 10, "phash": "0" * 16,
+                     "mean_luma": round(luma / 255.0, 6)}
+
+    def test_image_features_real_for_png_fake_for_jpeg(self, spark):
+        """The mapInPandas pipeline serves REAL pixel features for PNG
+        payloads (the fixture's solid-red PNGs -> Rec.601 luma, zero
+        dHash) and the deterministic fake for codec-needing formats."""
+        from librecrawl_spark.operators.multimodal import (
+            image_features, synthetic_media)
+
+        m = synthetic_media(spark, 12)
+        mimes = {r["media_id"]: r["meta"]["mime"]
+                 for r in m.filter("kind = 'image'").collect()}
+        luma = round(round(0.299 * 200 + 0.587 * 30 + 0.114 * 30) / 255.0, 6)
+        for r in image_features(m).collect():
+            if mimes[r["media_id"]] == "image/png":
+                assert r["phash"] == "0" * 16 and r["mean_luma"] == luma
+            else:
+                assert len(r["phash"]) == 16  # fake path, deterministic
+
     def test_audio_header_parse_pure(self):
         from librecrawl_spark.operators.multimodal import (
             make_test_wav, parse_audio_header)
