@@ -430,6 +430,71 @@ from 8 to 32 threads (raw eff {fc['marginal_eff']:.2f}). A wave over
 the north rule's 10^10-URL frontier schedules 10^8+ candidates per
 job, amortizing the constant to noise — the marginal rate is the
 transferable number, exactly as for the extract stage below.
+{_frontier_validation_cell(fc)}"""
+
+
+def _frontier_validation_cell(fc: dict) -> str:
+    """Render the third-size (64M) validation cell when probed: the
+    measured check of the fixed-cost amortization claim (VERDICT r4
+    item 4 — previously extrapolated from the 4M/16M fit alone)."""
+    val = fc.get("validation_cell")
+    if not val:
+        return ""
+    rows = "\n".join(
+        f"| local[{c}] | {val[str(c)]['predicted_sec']} "
+        f"| {val[str(c)]['measured_sec']} "
+        f"| {val[str(c)]['measured_over_predicted']:.2f}x |"
+        for c in (8, 32) if str(c) in val)
+    return f"""
+Third-size validation cell ({val['n']:,} candidates, banked per-cell
+best, NOT part of the fit): predicted wall from the 4M/16M fit vs
+measured —
+
+| level | predicted sec | measured sec | measured/predicted |
+|---|---|---|---|
+{rows}
+
+A ratio near 1.0 means the linear fixed+marginal model extends to 4x
+the fitted range; above ~1.15 the cell's banked best has only seen
+degraded windows so far (the accumulated-best protocol converges it
+downward, never up).
+"""
+
+
+def _wave_overhead_section() -> str:
+    """Render the scheduler-work decomposition of the per-job fixed
+    cost (scripts/probe_wave_overhead.py) — counts are plan properties,
+    immune to this host's noise windows, and name the core-proportional
+    component of the 4N constant."""
+    try:
+        with open(f"{REPO}/BENCH/wave_overhead.json") as fh:
+            ov = json.load(fh)
+    except (OSError, ValueError):
+        return ""
+    l8, l32 = ov["levels"]["8"], ov["levels"]["32"]
+    return f"""
+## Why the per-job constant grows with cores (named culprit, measured)
+
+`scripts/probe_wave_overhead.py` counts the scheduler work one
+steady-state wave generates ({ov['n_candidates']:,} candidates, 2
+driver actions, identical `scheduled_out` at both levels — a plan
+property, not a wall-clock sample, so host noise cannot touch it):
+
+| level | jobs | stages | task launches |
+|---|---|---|---|
+| local[8]  (N)  | {l8['jobs']} | {l8['stages']} | {l8['task_launches']:,} |
+| local[32] (4N) | {l32['jobs']} | {l32['stages']} | {l32['task_launches']:,} |
+
+AQE expands the wave's 2 actions into ~{l32['jobs']} jobs; every
+stage's task count tracks either defaultParallelism (leaf scans) or
+`spark.sql.shuffle.partitions = 2x cores` (exchanges), so task
+launches scale {ov['task_launch_ratio']}x from N to 4N while the
+DAGScheduler event loop that serializes and launches them is
+single-threaded — that product is the core-proportional component of
+the fixed cost (the level-invariant remainder is AQE re-plan rounds
+and broadcast builds). On a real cluster the same growth exists but a
+10^8-candidate wave amortizes it: the marginal per-URL rate above is
+the transferable number.
 """
 
 
@@ -603,7 +668,7 @@ normalized to the ceiling: frontier {f_eff / ceiling:.2f}, extract
 into the throughput; the per-stage fixed-cost decompositions below
 separate it, and their MARGINAL per-row rates are the numbers that
 transfer to real wave sizes:{_marginal_summary(ceiling)}
-{_frontier_fixed_cost_section()}{_extract_fixed_cost_section()}
+{_frontier_fixed_cost_section()}{_wave_overhead_section()}{_extract_fixed_cost_section()}
 ## Methodology + optimization history (rounds 1-4)
 
 Each measurement is the min over BENCH_REPS (default 2)

@@ -39,6 +39,12 @@ sys.path.insert(0, REPO)
 
 SIZES = (4_000_000, 16_000_000)
 LEVELS = (8, 32)
+# third-size validation cell (VERDICT r4 #4): the claim "a 10^8-candidate
+# wave amortizes the per-job constant to noise" was extrapolated from the
+# 4M/16M fit — a 64M cell MEASURES it. Not part of the fit; banked in the
+# same pool and reported as predicted-vs-measured. Enable with
+# PROBE_VALIDATE=1 (off by default: the cell costs ~1-4 min/level/round).
+VALIDATE_N = int(os.environ.get("PROBE_VALIDATE_N", "64000000"))
 
 
 def child(cpus: int, n: int) -> None:
@@ -111,9 +117,11 @@ def main() -> None:
                   f"{FRONTIER_JOB_REV}: starting a fresh probe pool",
                   file=sys.stderr)
     _sync_scaling_state(best)
+    validate = os.environ.get("PROBE_VALIDATE") == "1"
+    sizes_run = SIZES + ((VALIDATE_N,) if validate else ())
     for rd in range(rounds):
         for cpus in LEVELS:
-            for n in SIZES:
+            for n in sizes_run:
                 p = subprocess.run(
                     [sys.executable, __file__, "--child", str(cpus), str(n)],
                     capture_output=True, text=True, cwd=REPO)
@@ -168,6 +176,18 @@ def main() -> None:
         or any(out[f"fixed_sec_{c}"] < 0 for c in LEVELS)
         or any(best[f"{c}:{n2}"] <= best[f"{c}:{n1}"] for c in LEVELS)
     )
+    # third-size validation: does the 4M/16M fit predict the 64M cell?
+    if all(f"{c}:{VALIDATE_N}" in best for c in LEVELS):
+        val = {"n": VALIDATE_N}
+        for c in LEVELS:
+            measured = best[f"{c}:{VALIDATE_N}"]
+            predicted = (out[f"fixed_sec_{c}"]
+                         + VALIDATE_N / out[f"marginal_urls_per_sec_{c}"])
+            val[str(c)] = {"measured_sec": measured,
+                           "predicted_sec": round(predicted, 2),
+                           "measured_over_predicted":
+                               round(measured / predicted, 3)}
+        out["validation_cell"] = val
     with open(state_path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out, indent=1))
