@@ -2070,6 +2070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return unigram_logprob(_t(spark, sf, "documents"))
 
     return {
+        "a12_rollup": a12_rollup,
+        "a13_pivot": a13_pivot,
         "events_sessionize": events_sessionize,
         "events_session_window": events_session_window,
         "sim_neardup_exact": sim_neardup_exact,
@@ -2132,8 +2134,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q5_nation_revenue": q5_nation_revenue,
         "u3_set_ops": u3_set_ops,
-        "a12_rollup": a12_rollup,
-        "a13_pivot": a13_pivot,
         "w8_ntile": w8_ntile,
         "w9_range_frame": w9_range_frame,
         "a15_moments": a15_moments,
