@@ -669,7 +669,7 @@ into the throughput; the per-stage fixed-cost decompositions below
 separate it, and their MARGINAL per-row rates are the numbers that
 transfer to real wave sizes:{_marginal_summary(ceiling)}
 {_frontier_fixed_cost_section()}{_wave_overhead_section()}{_extract_fixed_cost_section()}
-## Methodology + optimization history (rounds 1-4)
+## Methodology + optimization history (rounds 1-5)
 
 Each measurement is the min over BENCH_REPS (default 2)
 repetitions inside one JVM; levels run in separate subprocesses (a

@@ -119,6 +119,10 @@ def main() -> None:
     _sync_scaling_state(best)
     validate = os.environ.get("PROBE_VALIDATE") == "1"
     sizes_run = SIZES + ((VALIDATE_N,) if validate else ())
+    if os.environ.get("PROBE_ONLY_VALIDATE") == "1":
+        # converge just the third-size cells (the fit cells keep their
+        # banked bests; the final fit below recomputes from the pool)
+        sizes_run = (VALIDATE_N,)
     for rd in range(rounds):
         for cpus in LEVELS:
             for n in sizes_run:
