@@ -691,6 +691,17 @@ effective cores. Under such windows a single --scaling invocation can
 only under-estimate the 4N level; accumulated per-level bests converge
 to capability from below as rounds catch quieter windows.
 
+Round-5 session noise record (the strongest yet): across ~20
+fit-size probe cells over a 4-hour span, ZERO beat their round-4
+banked bests — 32-thread cells measured up to 23x over banked
+(129s vs 5.69s for the 4M cell), and the same-session pure-JVM
+calibration delivered only 58% of its banked 32-thread rate. The
+long 64M validation cells, by contrast, were stable across windows
+(57-61s at 4N over four windows) and converged to within 1.12x (N)
+/ 1.34x (4N) of the fit's prediction — long jobs average over the
+noise bursts that dominate small-cell walls, which is itself the
+fixed-cost amortization thesis measured from another angle.
+
 Scaling fixes found by profiling stage-by-stage with noop writes
 (round 1, then round 2 via scripts/tune_frontier.py interleaved A/B —
 single runs are meaningless under this host's noise):
