@@ -38,7 +38,11 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # of a level come from the SAME physical plan, so a rev bump archives
 # the old probe cells and starts a fresh pool. rev 2 = seen set stored
 # hash-partitioned (the anti-join's seen-side exchange left the wave).
-FRONTIER_JOB_REV = 2
+# rev 3 = grouping-sets fused probe (one scan + one shuffle instead of
+# a three-branch union re-scanning the cache; 20 -> 16 AQE jobs, 2663
+# -> 2022 task launches per wave at local[32]) + single-task broadcast
+# builds for driver-local frames.
+FRONTIER_JOB_REV = 3
 FRONTIER_N = int(os.environ.get("BENCH_FRONTIER_N", "5000000"))
 SEEN_M = int(os.environ.get("BENCH_SEEN_M", "1000000"))
 # --scaling input is FIXED across rounds (round-1 scale: 16M candidates /

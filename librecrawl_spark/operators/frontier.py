@@ -91,9 +91,12 @@ def add_global_seq(df: DataFrame, order_cols: list[str], start: int,
         offsets[k] = acc
         acc += counts[k]
     # broadcast hash join for the offset lookup (a literal-map lookup is a
-    # per-row linear scan over the entries)
+    # per-row linear scan over the entries); coalesce(1) so the broadcast
+    # build of this <=n_buckets-row driver-local frame is one task, not
+    # defaultParallelism near-empty ones (core-proportional fixed cost)
     odf = F.broadcast(
         spark.createDataFrame(list(offsets.items()), schema="_bkt long, _off long")
+        .coalesce(1)
     )
     w = Window.partitionBy("_bkt").orderBy(*order_cols)
     return (
@@ -890,48 +893,68 @@ def schedule_wave(
     priors = pattern_counts.withColumnRenamed("cnt", "prior")
 
     def _probe(fr, count_nulls):
-        """3. hot/cold signature split — combined probe: ONE action
-        returns the threshold-crossing signatures AND (optimistically,
-        assuming none) the per-bucket row counts the seq assignment
-        needs AND the lazy-policy NULL count — the same job also
-        materializes the `fr` cache. Steady-state waves thus run 2
-        driver actions total (probe + final count) instead of 3."""
-        sig_stat = (
-            fr.groupBy("signature")
-            .agg(F.sum(F.col("policy_ok").cast("long")).alias("wave_acc"))
-            .join(priors, "signature", "left")
-            .fillna({"prior": 0})
-        )
-        hs = sig_stat.filter(F.col("prior") + F.col("wave_acc") >= T).select(
-            "signature", "prior"
-        )
+        """3. hot/cold signature split — combined probe: ONE action over
+        ONE pass of `fr` returns the threshold-crossing signatures AND
+        (optimistically, assuming none) the per-bucket row counts the
+        seq assignment needs AND the lazy-policy NULL count — the same
+        job also materializes the `fr` cache. A GROUPING SETS aggregate
+        ((signature), (_bkt)) folds what used to be a three-branch
+        union (each branch re-scanning the cache, each shuffling
+        separately, each an AQE query-stage tree of its own) into a
+        single shuffle: the map side emits two partial-agg rows per
+        input row, combined to #signatures + #buckets rows before the
+        exchange, and only bucket rows plus threshold-crossers survive
+        to the collect. This halves the wave's per-job fixed cost at
+        high core counts, where job/stage/task-launch scheduling — not
+        data — dominates small waves (BENCH/wave_overhead.json)."""
+        sig_acc = F.sum(F.col("policy_ok").cast("long"))
         if p_bounds is None:
+            sig_stat = (
+                fr.groupBy("signature")
+                .agg(sig_acc.alias("wave_acc"))
+                .join(priors, "signature", "left")
+                .fillna({"prior": 0})
+            )
+            hs = sig_stat.filter(F.col("prior") + F.col("wave_acc") >= T).select(
+                "signature", "prior"
+            )
             n_null = (fr.filter(F.col("policy_ok").isNull()).count()
                       if count_nulls else 0)
             return hs, None, (not hs.isEmpty()), n_null
         n_buckets = default_seq_buckets(spark)
         width = max((p_bounds[1] - p_bounds[0]) // n_buckets + 1, 1)
         bucket = ((F.col("_p") - F.lit(p_bounds[0])) / F.lit(width)).cast("long")
-        probe = hs.select(
-            F.lit("hot").alias("kind"), F.col("signature").alias("key"),
-            F.col("prior").cast("long").alias("val"),
-        ).unionByName(
-            fr.filter("policy_ok").groupBy(bucket.alias("key")).count().select(
-                F.lit("bkt").alias("kind"), F.col("key").cast("string").alias("key"),
-                F.col("count").alias("val"))
+        # gid per grouping-set row: (signature) rows aggregate _bkt away
+        # => gid=1; (_bkt) rows aggregate signature away => gid=2.
+        gs = (
+            fr.withColumn("_bkt", bucket)
+            .groupingSets([["signature"], ["_bkt"]], "signature", "_bkt")
+            .agg(
+                F.grouping_id().alias("gid"),
+                sig_acc.alias("acc"),
+                F.sum(F.col("policy_ok").isNull().cast("long")).alias("nulls"),
+            )
         )
-        if count_nulls:
-            probe = probe.unionByName(
-                fr.filter(F.col("policy_ok").isNull()).groupBy().count().select(
-                    F.lit("nul").alias("kind"), F.lit("").alias("key"),
-                    F.col("count").alias("val")))
-        rows = probe.collect()
-        hot_rows = [(r["key"], r["val"]) for r in rows if r["kind"] == "hot"]
-        bkts = {int(r["key"]): r["val"] for r in rows if r["kind"] == "bkt"}
-        n_null = sum(r["val"] for r in rows if r["kind"] == "nul")
+        # bucket rows always survive; signature rows only when they
+        # cross the threshold — the collect returns #buckets + #crossers
+        # rows, never per-signature volume. Bucket rows carry a NULL
+        # signature so the left join passes them through unmatched.
+        rows = (
+            gs.join(priors, "signature", "left")
+            .filter(
+                (F.col("gid") == 2)
+                | (F.coalesce(F.col("prior"), F.lit(0)) + F.col("acc") >= T)
+            )
+            .collect()
+        )
+        hot_rows = [(r["signature"], r["prior"] or 0) for r in rows if r["gid"] == 1]
+        bkts = {int(r["_bkt"]): r["acc"]
+                for r in rows if r["gid"] == 2 and r["acc"]}
+        n_null = (sum(r["nulls"] for r in rows if r["gid"] == 2)
+                  if count_nulls else 0)
         hot = bool(hot_rows)
-        if hot:
-            hs = spark.createDataFrame(hot_rows, "signature string, prior long")
+        hs = spark.createDataFrame(hot_rows or [],
+                                   "signature string, prior long").coalesce(1)
         return hs, bkts, hot, n_null
 
     hot_sigs, bkt_counts, has_hot, n_null = _probe(first, lazy_udf is not None)
