@@ -4,11 +4,14 @@ columns with typed metadata structs, processed through Arrow-batched
 
 PNG pixel decode is REAL and codec-free (decode_png: stdlib zlib
 inflate + all five scanline filters), so phash/mean_luma are true
-pixel features for PNG payloads. The remaining codecs (JPEG/WebP
-pixels, ffmpeg frames, torchaudio) are NOT in this container, so those
-kernels stay stubbed: they raise NotImplementedError unless
-``fake=True``, in which case a deterministic fake decoder (seeded by
-content hash) produces stable feature rows. Everything Spark-side —
+pixel features for PNG payloads. WAV sample decode is REAL and
+codec-free too (decode_wav_pcm: PCM/float samples are raw struct
+data), so loudness/peak/zcr are true signal features for WAV
+payloads. The remaining codecs (JPEG/WebP pixels, ffmpeg frames,
+FLAC/MP3 samples) are NOT in this container, so those kernels stay
+stubbed: they raise NotImplementedError unless ``fake=True``, in
+which case a deterministic fake decoder (seeded by content hash)
+produces stable feature rows. Everything Spark-side —
 schema, partitioning, UDF signatures, batch shapes — is real and
 tested; swapping in a real codec is a one-function change inside the
 UDF.
@@ -357,7 +360,8 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
 
 AUDIO_FEATURES_SCHEMA = (
     "media_id string, mime string, sample_rate int, channels int, "
-    "duration_ms int, n_bytes long, loudness double"
+    "duration_ms int, n_bytes long, loudness double, peak double, "
+    "zcr double"
 )
 
 
@@ -473,13 +477,15 @@ def make_test_webp_vp8l(width: int, height: int) -> bytes:
 
 
 def make_test_wav(sample_rate: int = 8000, channels: int = 1,
-                  n_samples: int = 1600) -> bytes:
+                  n_samples: int = 1600, samples=None) -> bytes:
     """A complete, valid 16-bit PCM WAV (RIFF + fmt + data) with a
-    deterministic sawtooth payload — stdlib-only fixture bytes."""
-    frames = b"".join(
-        struct.pack("<h", (i * 257) % 32768 - 16384) * channels
-        for i in range(n_samples)
-    )
+    deterministic sawtooth payload — stdlib-only fixture bytes.
+    ``samples``: optional explicit per-frame int16 values (each frame
+    repeated across channels) so tests can build analytic signals
+    (silence, square, sine) with known RMS/peak/ZCR."""
+    if samples is None:
+        samples = [(i * 257) % 32768 - 16384 for i in range(n_samples)]
+    frames = b"".join(struct.pack("<h", s) * channels for s in samples)
     byte_rate = sample_rate * channels * 2
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
     body = (b"WAVE"
@@ -488,12 +494,104 @@ def make_test_wav(sample_rate: int = 8000, channels: int = 1,
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def decode_wav_pcm(payload):
+    """REAL signal decode for WAV — pure stdlib (struct + array), no
+    codec: WAV *is* raw samples behind a RIFF header. Covers PCM
+    (format tag 1) at 8-bit unsigned / 16-bit / 24-bit / 32-bit signed
+    and IEEE float32/float64 (format tag 3). Returns (sample_rate,
+    channels, samples) with ``samples`` a flat interleaved sequence of
+    floats normalized to [-1, 1], or None when the payload isn't a WAV
+    this decoder covers (compressed format tags: ADPCM/MP3-in-WAV...)."""
+    if not isinstance(payload, (bytes, bytearray)) \
+            or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    import array
+    import sys
+
+    b = bytes(payload)
+    i, n = 12, len(b)
+    fmt_tag = rate = ch = bits = None
+    data = None
+    while i + 8 <= n:
+        cid = b[i:i + 4]
+        size = struct.unpack("<I", b[i + 4:i + 8])[0]
+        if cid == b"fmt " and i + 24 <= n:
+            fmt_tag, ch, rate = struct.unpack("<HHI", b[i + 8:i + 16])
+            bits = struct.unpack("<H", b[i + 22:i + 24])[0]
+        elif cid == b"data":
+            data = b[i + 8:i + 8 + size]
+        i += 8 + size + (size & 1)
+    if not (rate and ch) or data is None:
+        return None
+    swap = sys.byteorder == "big"
+
+    def _arr(code, scale):
+        a = array.array(code)
+        width = a.itemsize
+        a.frombytes(data[:len(data) - len(data) % width])
+        if swap and width > 1:
+            a.byteswap()
+        return [v / scale for v in a]
+
+    if fmt_tag == 1 and bits == 16:
+        samples = _arr("h", 32768.0)
+    elif fmt_tag == 1 and bits == 8:          # 8-bit PCM is unsigned
+        samples = [(v - 128) / 128.0 for v in data]
+    elif fmt_tag == 1 and bits == 24:
+        samples = [
+            int.from_bytes(data[j:j + 3], "little", signed=True) / 8388608.0
+            for j in range(0, len(data) - len(data) % 3, 3)
+        ]
+    elif fmt_tag == 1 and bits == 32:
+        samples = _arr("i", 2147483648.0)
+    elif fmt_tag == 3 and bits == 32:
+        samples = _arr("f", 1.0)
+    elif fmt_tag == 3 and bits == 64:
+        samples = _arr("d", 1.0)
+    else:
+        return None
+    return (rate, ch, samples)
+
+
+def real_audio_features(payload) -> dict | None:
+    """Signal-level features from a REAL decode (WAV only — the one
+    audio container whose 'decode' is pure struct reads): loudness =
+    RMS amplitude of the normalized interleaved samples in [0, 1],
+    peak = max |sample|, zcr = zero-crossing rate of channel 0 (sign
+    changes / (frames - 1), zeros carry the previous sign). Returns
+    None for non-WAV/compressed payloads — callers fall back to the
+    fake/raise path exactly as image_features does for non-PNG."""
+    dec = decode_wav_pcm(payload)
+    if dec is None:
+        return None
+    _rate, ch, s = dec
+    if not s:
+        return {"loudness": 0.0, "peak": 0.0, "zcr": 0.0}
+    import math
+
+    rms = math.sqrt(sum(v * v for v in s) / len(s))
+    peak = max(abs(v) for v in s)
+    ch0 = s[0::ch]
+    crossings, prev = 0, 1 if ch0[0] >= 0 else -1
+    for v in ch0[1:]:
+        sign = prev if v == 0 else (1 if v > 0 else -1)
+        if sign != prev:
+            crossings += 1
+        prev = sign
+    zcr = crossings / (len(ch0) - 1) if len(ch0) > 1 else 0.0
+    return {"loudness": round(rms, 6), "peak": round(peak, 6),
+            "zcr": round(zcr, 6)}
+
+
 def audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """Decode + feature-extract audio, same shape as image_features:
     sample_rate/channels/duration come from REAL container-header
-    parsing (parse_audio_header — WAV/FLAC); only the signal-level
-    feature (loudness) needs a codec and falls back to the
-    deterministic fake when ``fake=True``."""
+    parsing (parse_audio_header — WAV/FLAC/MP3). Signal-level features
+    (loudness/peak/zcr) are REAL for WAV payloads in both modes
+    (decode_wav_pcm — raw samples behind struct reads, no codec); for
+    formats whose sample decode genuinely needs a codec (FLAC/MP3)
+    they fall back to the deterministic fake when ``fake=True`` and
+    raise otherwise."""
 
     def run(batches):
         import pandas as pd
@@ -502,22 +600,27 @@ def audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
             rows = []
             for r in pdf.itertuples(index=False):
                 payload = bytes(r.payload) if r.payload is not None else b""
-                if not fake:
-                    raise NotImplementedError(
-                        "signal-level decode requires soundfile/ffmpeg — not in this container"
-                    )
-                h = hashlib.sha256(payload).digest()
+                d = real_audio_features(payload)
+                if d is None:
+                    if not fake:
+                        raise NotImplementedError(
+                            "sample decode beyond WAV/PCM requires "
+                            "soundfile/ffmpeg — not in this container"
+                        )
+                    h = hashlib.sha256(payload).digest()
+                    d = {"loudness": round(h[3] / 255.0, 6),
+                         "peak": round(h[4] / 255.0, 6),
+                         "zcr": round(h[5] / 255.0, 6)}
                 hdr = parse_audio_header(payload)
                 mime, rate, ch, dur = hdr if hdr else (None, 0, 0, 0)
                 rows.append({
                     "media_id": r.media_id, "mime": mime,
                     "sample_rate": rate, "channels": ch, "duration_ms": dur,
-                    "n_bytes": len(payload),
-                    "loudness": round(h[3] / 255.0, 6),
+                    "n_bytes": len(payload), **d,
                 })
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 columns=["media_id", "mime", "sample_rate", "channels",
-                         "duration_ms", "n_bytes", "loudness"]
+                         "duration_ms", "n_bytes", "loudness", "peak", "zcr"]
             )
 
     return (

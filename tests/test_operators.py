@@ -581,6 +581,82 @@ class TestMultimodal:
                 for i in range(9)}
         assert out == want
 
+    def test_wav_pcm_decode_pure(self):
+        """decode_wav_pcm is a REAL sample decoder — WAV is raw PCM
+        behind struct reads. 16-bit roundtrip, 8-bit unsigned bias,
+        stereo interleave, and compressed-format rejection."""
+        from librecrawl_spark.operators.multimodal import (
+            decode_wav_pcm, make_test_wav)
+        import struct as st
+
+        rate, ch, s = decode_wav_pcm(
+            make_test_wav(8000, 1, samples=[0, 16384, -16384, -32768]))
+        assert (rate, ch) == (8000, 1)
+        assert s == [0.0, 0.5, -0.5, -1.0]
+        # stereo: each frame value repeated per channel, interleaved
+        _, ch2, s2 = decode_wav_pcm(
+            make_test_wav(44100, 2, samples=[100, -100]))
+        assert ch2 == 2 and s2 == [100 / 32768.0] * 2 + [-100 / 32768.0] * 2
+        # 8-bit PCM is unsigned with a 128 bias
+        fmt = st.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        body = (b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+                + b"data" + st.pack("<I", 3) + bytes([128, 255, 0]))
+        pad = b"\x00"  # odd-size data chunk is word-aligned
+        wav8 = b"RIFF" + st.pack("<I", len(body) + 1) + body + pad
+        assert decode_wav_pcm(wav8) == (8000, 1, [0.0, 127 / 128.0, -1.0])
+        # non-PCM format tag (2 = ADPCM) is honestly not covered
+        fmt_adpcm = st.pack("<HHIIHH", 2, 1, 8000, 4000, 1, 4)
+        body = (b"WAVE" + b"fmt " + st.pack("<I", len(fmt_adpcm)) + fmt_adpcm
+                + b"data" + st.pack("<I", 4) + b"\x00" * 4)
+        assert decode_wav_pcm(b"RIFF" + st.pack("<I", len(body)) + body) is None
+        assert decode_wav_pcm(b"fLaC" + b"\x00" * 40) is None
+
+    def test_real_audio_features_analytic(self):
+        """Signal features from known waveforms: a full-scale square
+        wave's RMS == peak == 32767/32768 with a crossing every period
+        boundary; silence is all zeros; a half-scale constant has RMS =
+        peak = 0.5 and no crossings."""
+        from librecrawl_spark.operators.multimodal import (
+            make_test_wav, real_audio_features)
+
+        sq = [32767, 32767, -32767, -32767] * 25
+        f = real_audio_features(make_test_wav(8000, 1, samples=sq))
+        assert f["loudness"] == f["peak"] == round(32767 / 32768, 6)
+        # 50 sign flips over 99 gaps
+        assert f["zcr"] == round(49 / 99, 6)
+        f0 = real_audio_features(make_test_wav(8000, 2, samples=[0] * 64))
+        assert f0 == {"loudness": 0.0, "peak": 0.0, "zcr": 0.0}
+        fh = real_audio_features(make_test_wav(8000, 1, samples=[16384] * 10))
+        assert fh == {"loudness": 0.5, "peak": 0.5, "zcr": 0.0}
+        assert real_audio_features(b"\xff\xd8not audio") is None
+
+    def test_audio_features_real_for_wav(self, spark):
+        """The mapInPandas pipeline serves REAL signal features for WAV
+        payloads: the fixture's sawtooth RMS/peak/zcr computed
+        independently here must match the pipeline's output."""
+        import math
+
+        from librecrawl_spark.operators.multimodal import (
+            audio_features, synthetic_audio)
+
+        m = synthetic_audio(spark, 4)
+        out = {r["media_id"]: (r["loudness"], r["peak"], r["zcr"])
+               for r in audio_features(m).collect()}
+        for i in range(4):
+            rate = (8000, 16000, 44100)[i % 3]
+            vals = [((j * 257) % 32768 - 16384) / 32768.0
+                    for j in range(rate // 10 + i)]
+            rms = round(math.sqrt(sum(v * v for v in vals) / len(vals)), 6)
+            peak = round(max(abs(v) for v in vals), 6)
+            cross, prev = 0, 1 if vals[0] >= 0 else -1
+            for v in vals[1:]:
+                sgn = prev if v == 0 else (1 if v > 0 else -1)
+                if sgn != prev:
+                    cross += 1
+                prev = sgn
+            zcr = round(cross / (len(vals) - 1), 6)
+            assert out[f"a{i}"] == (rms, peak, zcr), i
+
 
 class TestSitemap:
     def test_parse_urlset(self, spark):
