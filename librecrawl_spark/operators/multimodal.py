@@ -198,6 +198,191 @@ def decode_png(payload):
     return lumas
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
+    """GIF-variant LZW decompress (GIF89a spec appendix F) — pure
+    stdlib: LSB-first variable-width codes, clear/end codes, code width
+    growing at dict size 2^width up to 12 bits. Returns the pixel index
+    list (truncated/padded behavior: stops at n_pixels or end code), or
+    None on a corrupt stream."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = []
+    table = []
+    width = min_code_size + 1
+    next_code = end + 1
+    prev = None
+    acc = nbits = 0
+
+    def reset():
+        nonlocal table, width, next_code, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        next_code = end + 1
+        prev = None
+
+    reset()
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                continue
+            if code == end:
+                return out[:n_pixels]
+            if code < len(table):
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                return None
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table.append(prev + entry[:1])
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+            if len(out) >= n_pixels:
+                return out[:n_pixels]
+    return out[:n_pixels] if out else None
+
+
+def decode_gif(payload):
+    """REAL pixel decode for GIF — pure stdlib (the GIF-variant LZW of
+    appendix F is ~40 lines; no codec library involved): first frame,
+    global or local color table, interlace supported, transparency
+    ignored (features want luma, not alpha). Returns a list of rows of
+    luma ints in [0,255] (palette resolved via Rec.601), or None when
+    the payload isn't a GIF this decoder covers."""
+    if not isinstance(payload, (bytes, bytearray)) \
+            or bytes(payload[:6]) not in (b"GIF87a", b"GIF89a"):
+        return None
+    b = bytes(payload)
+    try:
+        flags = b[10]
+        pos = 13
+        gct = b""
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            gct = b[pos:pos + 3 * n]
+            pos += 3 * n
+        while pos < len(b):
+            blk = b[pos]
+            if blk == 0x21:                      # extension: skip sub-blocks
+                pos += 2
+                while b[pos]:
+                    pos += 1 + b[pos]
+                pos += 1
+            elif blk == 0x2C:                    # image descriptor
+                w, h = struct.unpack("<HH", b[pos + 5:pos + 9])
+                iflags = b[pos + 9]
+                pos += 10
+                pal = gct
+                if iflags & 0x80:                # local color table
+                    n = 2 << (iflags & 0x07)
+                    pal = b[pos:pos + 3 * n]
+                    pos += 3 * n
+                min_code = b[pos]
+                pos += 1
+                data = bytearray()
+                while b[pos]:
+                    data += b[pos + 1:pos + 1 + b[pos]]
+                    pos += 1 + b[pos]
+                idx = _gif_lzw_decode(bytes(data), min_code, w * h)
+                if idx is None or len(idx) < w * h or not pal or w == 0:
+                    return None
+                luma = [round(0.299 * pal[3 * v] + 0.587 * pal[3 * v + 1]
+                              + 0.114 * pal[3 * v + 2])
+                        if 3 * v + 2 < len(pal) else 0 for v in idx]
+                rows = [luma[y * w:(y + 1) * w] for y in range(h)]
+                if iflags & 0x40:                # deinterlace (4 passes)
+                    order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+                             + [*range(2, h, 4)] + [*range(1, h, 2)])
+                    out = [None] * h
+                    for src, dst in enumerate(order):
+                        out[dst] = rows[src]
+                    rows = out
+                return rows
+            else:                                # trailer (0x3B) or junk
+                return None
+    except (IndexError, struct.error):
+        return None
+    return None
+
+
+def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW compress (inverse of _gif_lzw_decode) so tests
+    can build REAL decodable GIF fixtures stdlib-only."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    width = min_code_size + 1
+    next_code = end + 1
+    emit(clear, width)
+    w = b""
+    for v in indices:
+        wc = w + bytes([v])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        if next_code < 4096:
+            table[wc] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            width = min_code_size + 1
+            next_code = end + 1
+        w = bytes([v])
+    if w:
+        emit(table[w], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def make_test_gif(width: int, height: int, palette, indices,
+                  interlace: bool = False) -> bytes:
+    """A complete, valid GIF89a (header + GCT + image + REAL LZW-coded
+    pixel data + trailer) — stdlib-only fixture bytes. ``palette``:
+    list of (r,g,b); ``indices``: row-major palette indices."""
+    n = max(2, len(palette))
+    bits = max(1, (n - 1).bit_length())
+    n_slots = 1 << bits
+    gct = b"".join(bytes(c) for c in palette) + b"\x00" * (3 * (n_slots - len(palette)))
+    lsd = struct.pack("<HHBBB", width, height, 0xF0 | (bits - 1), 0, 0)
+    min_code = max(2, bits)
+    lzw = _gif_lzw_encode(list(indices), min_code)
+    sub = b"".join(
+        bytes([len(lzw[i:i + 255])]) + lzw[i:i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    idesc = struct.pack("<BHHHHB", 0x2C, 0, 0, width, height,
+                        0x40 if interlace else 0)
+    return (b"GIF89a" + lsd + gct + idesc + bytes([min_code]) + sub
+            + b"\x00" + b"\x3B")
+
+
 def _box_resample(lumas, out_w: int, out_h: int):
     """Box-average downsample of a luma grid to (out_w, out_h) — the
     standard dHash pre-step; each output cell averages its source box."""
@@ -216,14 +401,16 @@ def _box_resample(lumas, out_w: int, out_h: int):
 
 
 def real_image_features(payload) -> dict | None:
-    """Pixel-level features from a REAL decode (PNG only — the one
-    format whose decode is pure stdlib): mean_luma = mean(luma)/255,
+    """Pixel-level features from a REAL decode (PNG and GIF — the two
+    formats whose decode is pure stdlib): mean_luma = mean(luma)/255,
     phash = 64-bit row-major dHash over a 9x8 box-resampled luma grid
     (bit y*8+x, MSB-first, = 1 iff grid[y][x+1] > grid[y][x] — a
     strictly left-to-right-brightening image hashes to all-ones, a
     vertical gradient to all-zeros; both asserted analytically in
-    tests). Returns None for non-PNG/uncovered payloads."""
+    tests). Returns None for JPEG/WebP/uncovered payloads."""
     lumas = decode_png(payload)
+    if lumas is None:
+        lumas = decode_gif(payload)
     if not lumas or not lumas[0]:
         return None
     n = sum(len(r) for r in lumas)
@@ -258,10 +445,10 @@ def image_features(media: DataFrame, fake: bool = True) -> DataFrame:
     width/height/mime come from REAL container-header parsing
     (parse_image_header — PNG/GIF/JPEG, stdlib struct reads). Pixel
     features (phash, mean_luma) are REAL for PNG payloads (decode_png:
-    stdlib zlib + unfiltering, no codec) in both modes; for the formats
-    whose decode genuinely needs a codec (JPEG/WebP/GIF pixels) they
-    fall back to the deterministic fake when ``fake=True`` and raise
-    otherwise."""
+    stdlib zlib + unfiltering) and GIF payloads (decode_gif: pure-
+    Python appendix-F LZW) in both modes; for the formats whose decode
+    genuinely needs a codec (JPEG/WebP pixels) they fall back to the
+    deterministic fake when ``fake=True`` and raise otherwise."""
 
     def run(batches):
         import pandas as pd

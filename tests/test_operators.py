@@ -581,6 +581,70 @@ class TestMultimodal:
                 for i in range(9)}
         assert out == want
 
+    def test_gif_lzw_roundtrip_pure(self):
+        """_gif_lzw_encode/_gif_lzw_decode are REAL appendix-F LZW:
+        deterministic fuzz roundtrip across palette sizes, including
+        streams long enough to grow the code width and overflow the
+        4096-entry dict (clear-code reset path)."""
+        import random
+
+        from librecrawl_spark.operators.multimodal import (
+            _gif_lzw_decode, _gif_lzw_encode)
+
+        rnd = random.Random(7)
+        for ncolors in (2, 4, 16, 256):
+            mcs = max(2, (ncolors - 1).bit_length())
+            for n in (1, 17, 4095, 20000):
+                idx = [rnd.randrange(ncolors) for _ in range(n)]
+                assert _gif_lzw_decode(
+                    _gif_lzw_encode(idx, mcs), mcs, n) == idx, (ncolors, n)
+        assert _gif_lzw_decode(b"\xff\xff\xff", 2, 10) is None  # corrupt
+
+    def test_gif_pixel_decode_real(self):
+        """decode_gif resolves palette pixels through real LZW: a
+        checkerboard roundtrips exactly, interlaced storage order is
+        restored, a local color table overrides the global one, and a
+        solid color yields its Rec.601 luma with an all-zero dHash."""
+        from librecrawl_spark.operators.multimodal import (
+            decode_gif, make_test_gif, parse_image_header,
+            real_image_features)
+
+        pal = [(0, 0, 0), (255, 255, 255)]
+        logical = [[(x + y) % 2 for x in range(8)] for y in range(6)]
+        g = make_test_gif(8, 6, pal, [v for r in logical for v in r])
+        assert parse_image_header(g) == ("image/gif", 8, 6)
+        assert decode_gif(g) == [[255 * v for v in r] for r in logical]
+        # interlaced: store rows in pass order (h=6 -> 0 | 4 | 2 | 1,3,5)
+        storage = [logical[i] for i in (0, 4, 2, 1, 3, 5)]
+        gi = make_test_gif(8, 6, pal, [v for r in storage for v in r],
+                           interlace=True)
+        assert decode_gif(gi) == [[255 * v for v in r] for r in logical]
+        f = real_image_features(g)
+        assert (f["width"], f["height"], f["mean_luma"]) == (8, 6, 0.5)
+        solid = make_test_gif(5, 4, [(10, 200, 30)], [0] * 20)
+        fs = real_image_features(solid)
+        luma = round(0.299 * 10 + 0.587 * 200 + 0.114 * 30)
+        assert fs["phash"] == "0" * 16
+        assert fs["mean_luma"] == round(luma / 255.0, 6)
+        assert decode_gif(b"GIF89a" + b"\x00" * 4) is None
+        assert decode_gif(b"\x89PNG\r\n\x1a\n") is None
+
+    def test_image_features_real_for_gif(self, spark):
+        """The mapInPandas pipeline serves REAL pixel features for GIF
+        payloads too (decode_gif), not the content-hash fake."""
+        from librecrawl_spark.operators.multimodal import (
+            MEDIA_SCHEMA, image_features, make_test_gif)
+
+        g = make_test_gif(5, 4, [(10, 200, 30)], [0] * 20)
+        m = spark.createDataFrame(
+            [("g0", "image", bytearray(g), ("image/gif", 5, 4, 0))],
+            schema=MEDIA_SCHEMA)
+        [r] = image_features(m).collect()
+        luma = round(0.299 * 10 + 0.587 * 200 + 0.114 * 30)
+        assert (r["width"], r["height"]) == (5, 4)
+        assert r["phash"] == "0" * 16
+        assert r["mean_luma"] == round(luma / 255.0, 6)
+
     def test_wav_pcm_decode_pure(self):
         """decode_wav_pcm is a REAL sample decoder — WAV is raw PCM
         behind struct reads. 16-bit roundtrip, 8-bit unsigned bias,
