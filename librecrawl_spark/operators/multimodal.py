@@ -2,16 +2,18 @@
 columns with typed metadata structs, processed through Arrow-batched
 ``mapInPandas`` UDFs.
 
-PNG pixel decode is REAL and codec-free (decode_png: stdlib zlib
-inflate + all five scanline filters), so phash/mean_luma are true
-pixel features for PNG payloads. WAV sample decode is REAL and
-codec-free too (decode_wav_pcm: PCM/float samples are raw struct
-data), so loudness/peak/zcr are true signal features for WAV
-payloads. The remaining codecs (JPEG/WebP pixels, ffmpeg frames,
-FLAC/MP3 samples) are NOT in this container, so those kernels stay
-stubbed: they raise NotImplementedError unless ``fake=True``, in
-which case a deterministic fake decoder (seeded by content hash)
-produces stable feature rows. Everything Spark-side —
+Pixel/sample decode is REAL and codec-free for the formats where the
+math is stdlib-expressible: PNG (decode_png: zlib inflate + all five
+scanline filters), GIF (decode_gif: pure-Python appendix-F LZW),
+baseline JPEG (jpegdec.decode_jpeg_luma: huffman + dequant + IDCT,
+luma plane only), and WAV (decode_wav_pcm: PCM/float samples are raw
+struct data) — so phash/mean_luma are true pixel features for
+PNG/GIF/JPEG and loudness/peak/zcr are true signal features for WAV.
+The remaining codecs (WebP/AV1 pixels, ffmpeg frames, FLAC/MP3
+samples) are NOT in this container, so those kernels stay stubbed:
+they raise NotImplementedError unless ``fake=True``, in which case a
+deterministic fake decoder (seeded by content hash) produces stable
+feature rows. Everything Spark-side —
 schema, partitioning, UDF signatures, batch shapes — is real and
 tested; swapping in a real codec is a one-function change inside the
 UDF.
@@ -401,16 +403,22 @@ def _box_resample(lumas, out_w: int, out_h: int):
 
 
 def real_image_features(payload) -> dict | None:
-    """Pixel-level features from a REAL decode (PNG and GIF — the two
-    formats whose decode is pure stdlib): mean_luma = mean(luma)/255,
-    phash = 64-bit row-major dHash over a 9x8 box-resampled luma grid
-    (bit y*8+x, MSB-first, = 1 iff grid[y][x+1] > grid[y][x] — a
-    strictly left-to-right-brightening image hashes to all-ones, a
-    vertical gradient to all-zeros; both asserted analytically in
-    tests). Returns None for JPEG/WebP/uncovered payloads."""
+    """Pixel-level features from a REAL decode (PNG, GIF, and baseline
+    JPEG — all pure stdlib: zlib, appendix-F LZW, huffman+IDCT):
+    mean_luma = mean(luma)/255, phash = 64-bit row-major dHash over a
+    9x8 box-resampled luma grid (bit y*8+x, MSB-first, = 1 iff
+    grid[y][x+1] > grid[y][x] — a strictly left-to-right-brightening
+    image hashes to all-ones, a vertical gradient to all-zeros; both
+    asserted analytically in tests). Returns None for WebP/progressive-
+    JPEG/uncovered payloads. The pure-Python JPEG path trades speed for
+    zero dependencies — at production scale swap decode_jpeg_luma for a
+    libjpeg binding inside the same mapInPandas kernel."""
     lumas = decode_png(payload)
     if lumas is None:
         lumas = decode_gif(payload)
+    if lumas is None:
+        from librecrawl_spark.operators.jpegdec import decode_jpeg_luma
+        lumas = decode_jpeg_luma(payload)
     if not lumas or not lumas[0]:
         return None
     n = sum(len(r) for r in lumas)
@@ -444,10 +452,11 @@ def image_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
     width/height/mime come from REAL container-header parsing
     (parse_image_header — PNG/GIF/JPEG, stdlib struct reads). Pixel
-    features (phash, mean_luma) are REAL for PNG payloads (decode_png:
-    stdlib zlib + unfiltering) and GIF payloads (decode_gif: pure-
-    Python appendix-F LZW) in both modes; for the formats whose decode
-    genuinely needs a codec (JPEG/WebP pixels) they fall back to the
+    features (phash, mean_luma) are REAL in both modes for PNG
+    (decode_png: stdlib zlib + unfiltering), GIF (decode_gif: pure-
+    Python appendix-F LZW), and baseline JPEG (decode_jpeg_luma:
+    huffman + IDCT); for the formats whose decode genuinely needs a
+    codec (WebP pixels, progressive JPEG) they fall back to the
     deterministic fake when ``fake=True`` and raise otherwise."""
 
     def run(batches):
