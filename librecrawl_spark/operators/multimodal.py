@@ -9,7 +9,10 @@ baseline JPEG (jpegdec.decode_jpeg_luma: huffman + dequant + IDCT,
 luma plane only), and WAV (decode_wav_pcm: PCM/float samples are raw
 struct data) — so phash/mean_luma are true pixel features for
 PNG/GIF/JPEG and loudness/peak/zcr are true signal features for WAV.
-The remaining codecs (WebP/AV1 pixels, ffmpeg frames, FLAC/MP3
+FLAC is fully stdlib-expressible too (decode_flac_pcm: bit-level
+Rice/fixed/LPC subframe decode per RFC 9639 — no DSP tables, just
+integer predictors), so signal features are REAL for FLAC as well.
+The remaining codecs (WebP/AV1 pixels, ffmpeg frames, MP3
 samples) are NOT in this container, so those kernels stay stubbed:
 they raise NotImplementedError unless ``fake=True``, in which case a
 deterministic fake decoder (seeded by content hash) produces stable
@@ -749,15 +752,429 @@ def decode_wav_pcm(payload):
     return (rate, ch, samples)
 
 
+# ---------------------------------------------------------------------------
+# FLAC: real sample decode, pure stdlib (RFC 9639). FLAC is lossless
+# integer prediction + Rice-coded residuals — no transform/DSP tables —
+# so a complete decoder is expressible in plain Python bit reads, the
+# same way PNG is zlib + unfiltering. Covers CONSTANT / VERBATIM /
+# FIXED(0-4) / LPC subframes, both Rice methods incl. escape
+# partitions, wasted bits, and all three stereo decorrelations.
+# ---------------------------------------------------------------------------
+
+def _crc8(data: bytes) -> int:
+    """CRC-8 poly x^8+x^2+x+1 (0x07), init 0 — FLAC frame-header CRC."""
+    c = 0
+    for byte in data:
+        c ^= byte
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16 poly 0x8005, init 0 — FLAC whole-frame CRC."""
+    c = 0
+    for byte in data:
+        c ^= byte << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 \
+                else (c << 1) & 0xFFFF
+    return c
+
+
+class _BitReader:
+    """MSB-first bit reader over bytes (FLAC is big-endian bit-packed)."""
+
+    def __init__(self, data: bytes, pos_bytes: int = 0):
+        self.d = data
+        self.pos = pos_bytes * 8  # bit cursor
+
+    def read(self, n: int) -> int:
+        """n-bit unsigned read; raises EOFError past the end."""
+        end = self.pos + n
+        if end > len(self.d) * 8:
+            raise EOFError
+        v = 0
+        pos = self.pos
+        while n:
+            byte = self.d[pos >> 3]
+            avail = 8 - (pos & 7)
+            take = min(avail, n)
+            v = (v << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
+            pos += take
+            n -= take
+        self.pos = pos
+        return v
+
+    def signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def unary(self) -> int:
+        """Count 0-bits up to the terminating 1-bit (FLAC unary)."""
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+class _BitWriter:
+    """MSB-first bit writer (fixture encoder side)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def write(self, v: int, n: int) -> None:
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nacc += n
+        while self.nacc >= 8:
+            self.nacc -= 8
+            self.buf.append((self.acc >> self.nacc) & 0xFF)
+        self.acc &= (1 << self.nacc) - 1
+
+    def align(self) -> None:
+        if self.nacc:
+            self.write(0, 8 - self.nacc)
+
+    def getvalue(self) -> bytes:
+        assert self.nacc == 0
+        return bytes(self.buf)
+
+
+# fixed-predictor coefficients by order (RFC 9639 §9.2.2): the
+# prediction for order o is the o-th forward difference reconstruction
+_FLAC_FIXED = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+_FLAC_SAMPLE_SIZE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+_FLAC_RATES = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
+               6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000,
+               11: 96000}
+
+
+def _flac_utf8_read(br: _BitReader) -> int | None:
+    """The frame/sample number is stored UTF-8-style (1-7 bytes)."""
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    while (b0 << n) & 0x80:
+        n += 1
+    if n < 2 or n > 7:
+        return None
+    v = b0 & (0x7F >> n)
+    for _ in range(n - 1):
+        c = br.read(8)
+        if c & 0xC0 != 0x80:
+            return None
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _flac_residual(br: _BitReader, block_size: int, order: int) -> list[int]:
+    """Rice-coded residual section: 2-bit method (4- or 5-bit params),
+    4-bit partition order, escape partitions stored raw."""
+    method = br.read(2)
+    if method > 1:
+        raise ValueError("reserved residual method")
+    pbits = 4 + method
+    escape = (1 << pbits) - 1
+    po = br.read(4)
+    nparts = 1 << po
+    if block_size % nparts or block_size >> po <= order and nparts > 1:
+        raise ValueError("bad partition order")
+    out = []
+    for p in range(nparts):
+        count = (block_size >> po) - (order if p == 0 else 0)
+        param = br.read(pbits)
+        if param == escape:
+            raw = br.read(5)
+            for _ in range(count):
+                out.append(br.signed(raw) if raw else 0)
+        else:
+            for _ in range(count):
+                u = (br.unary() << param) | br.read(param)
+                out.append((u >> 1) ^ -(u & 1))
+    return out
+
+
+def _flac_subframe(br: _BitReader, block_size: int, bps: int) -> list[int]:
+    """One channel's subframe: header + warmup + residual + predict."""
+    if br.read(1):
+        raise ValueError("bad subframe padding bit")
+    ftype = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = br.unary() + 1
+        bps -= wasted
+    if ftype == 0:                      # CONSTANT
+        s = [br.signed(bps)] * block_size
+    elif ftype == 1:                    # VERBATIM
+        s = [br.signed(bps) for _ in range(block_size)]
+    elif 8 <= ftype <= 12:              # FIXED, order 0-4
+        order = ftype - 8
+        s = [br.signed(bps) for _ in range(order)]
+        res = _flac_residual(br, block_size, order)
+        coef = _FLAC_FIXED[order]
+        for r in res:
+            s.append(r + sum(c * s[-1 - j] for j, c in enumerate(coef)))
+    elif ftype >= 32:                   # LPC, order 1-32
+        order = ftype - 31
+        s = [br.signed(bps) for _ in range(order)]
+        prec = br.read(4) + 1
+        if prec == 16:
+            raise ValueError("invalid lpc precision")
+        shift = br.signed(5)
+        coef = [br.signed(prec) for _ in range(order)]
+        res = _flac_residual(br, block_size, order)
+        for r in res:
+            pred = sum(c * s[-1 - j] for j, c in enumerate(coef)) >> shift
+            s.append(r + pred)
+    else:
+        raise ValueError("reserved subframe type")
+    return [v << wasted for v in s] if wasted else s
+
+
+def decode_flac_pcm(payload):
+    """REAL sample decode for FLAC — pure stdlib bit reads, no codec
+    (RFC 9639): metadata walk, frame-header parse with CRC-8 verify,
+    CONSTANT/VERBATIM/FIXED/LPC subframes, Rice residuals (both
+    methods + escape), wasted bits, left/right/mid-side stereo
+    decorrelation, CRC-16 frame verify. Returns (sample_rate,
+    channels, samples) with ``samples`` flat interleaved floats
+    normalized to [-1, 1] — the decode_wav_pcm contract — or None
+    when the payload isn't FLAC or uses a reserved feature."""
+    if not isinstance(payload, (bytes, bytearray)) or bytes(payload[:4]) != b"fLaC":
+        return None
+    b = bytes(payload)
+    try:
+        # metadata block walk; STREAMINFO (type 0) carries the defaults
+        i, rate0, ch0, bps0 = 4, None, None, None
+        while True:
+            if i + 4 > len(b):
+                return None
+            hdr = b[i]
+            size = int.from_bytes(b[i + 1:i + 4], "big")
+            if hdr & 0x7F == 0:
+                packed = int.from_bytes(b[i + 14:i + 22], "big")
+                rate0 = packed >> 44
+                ch0 = ((packed >> 41) & 0x7) + 1
+                bps0 = ((packed >> 36) & 0x1F) + 1
+            i += 4 + size
+            if hdr & 0x80:
+                break
+        if not rate0:
+            return None
+        out: list[list[int]] = []
+        rate = rate0
+        while i + 2 <= len(b):
+            frame_start = i
+            br = _BitReader(b, i)
+            sync = br.read(15)
+            if sync != 0x7FFC:
+                raise ValueError("lost frame sync")
+            br.read(1)                              # blocking strategy
+            bs_code = br.read(4)
+            sr_code = br.read(4)
+            ca = br.read(4)
+            ss_code = br.read(3)
+            if br.read(1):
+                raise ValueError("reserved header bit")
+            if _flac_utf8_read(br) is None:
+                raise ValueError("bad coded number")
+            if bs_code == 0:
+                raise ValueError("reserved block size")
+            elif bs_code == 1:
+                block_size = 192
+            elif bs_code <= 5:
+                block_size = 576 << (bs_code - 2)
+            elif bs_code == 6:
+                block_size = br.read(8) + 1
+            elif bs_code == 7:
+                block_size = br.read(16) + 1
+            else:
+                block_size = 256 << (bs_code - 8)
+            if sr_code == 0:
+                rate = rate0
+            elif sr_code in _FLAC_RATES:
+                rate = _FLAC_RATES[sr_code]
+            elif sr_code == 12:
+                rate = br.read(8) * 1000
+            elif sr_code == 13:
+                rate = br.read(16)
+            elif sr_code == 14:
+                rate = br.read(16) * 10
+            else:
+                raise ValueError("invalid sample rate code")
+            bps = bps0 if ss_code == 0 else _FLAC_SAMPLE_SIZE.get(ss_code)
+            if bps is None:
+                raise ValueError("reserved sample size")
+            br.align()
+            crc8_stored = br.read(8)
+            if _crc8(b[frame_start:(br.pos >> 3) - 1]) != crc8_stored:
+                raise ValueError("frame header CRC mismatch")
+            if ca <= 7:
+                nch = ca + 1
+                chans = [_flac_subframe(br, block_size, bps)
+                         for _ in range(nch)]
+            elif ca in (8, 9, 10):
+                nch = 2
+                extra0 = 1 if ca == 9 else 0   # side channel has bps+1
+                extra1 = 1 if ca in (8, 10) else 0
+                c0 = _flac_subframe(br, block_size, bps + extra0)
+                c1 = _flac_subframe(br, block_size, bps + extra1)
+                if ca == 8:        # left/side: right = left - side
+                    chans = [c0, [l - s for l, s in zip(c0, c1)]]
+                elif ca == 9:      # side/right: left = right + side
+                    chans = [[r + s for s, r in zip(c0, c1)], c1]
+                else:              # mid/side
+                    left, right = [], []
+                    for m, s in zip(c0, c1):
+                        m = (m << 1) | (s & 1)
+                        left.append((m + s) >> 1)
+                        right.append((m - s) >> 1)
+                    chans = [left, right]
+            else:
+                raise ValueError("reserved channel assignment")
+            br.align()
+            crc_pos = br.pos >> 3
+            if crc_pos + 2 > len(b):
+                raise ValueError("truncated frame")
+            if _crc16(b[frame_start:crc_pos]) != \
+                    int.from_bytes(b[crc_pos:crc_pos + 2], "big"):
+                raise ValueError("frame CRC mismatch")
+            i = crc_pos + 2
+            scale = float(1 << (bps - 1))
+            for j in range(block_size):
+                out.append([c[j] / scale for c in chans])
+        if not out:
+            return None
+        nch = len(out[0])
+        return (rate, nch, [v for frame in out for v in frame])
+    except (EOFError, ValueError, IndexError, KeyError):
+        return None
+
+
+def make_test_flac(sample_rate: int = 8000, bps: int = 16, samples=None,
+                   channel_samples=None, block_size: int = 4096,
+                   stereo_mode: str = "independent",
+                   fixed_order: int | None = None) -> bytes:
+    """A complete, valid FLAC stream — stdlib-only fixture bytes, the
+    make_test_wav counterpart. ``samples``: per-frame values applied to
+    every channel; ``channel_samples``: explicit per-channel lists (for
+    stereo-decorrelation fixtures). Subframes are CONSTANT when a
+    channel is all one value, else FIXED(order)+Rice when
+    ``fixed_order`` is given, else VERBATIM. ``stereo_mode`` in
+    independent|left_side|right_side|mid_side exercises the
+    decorrelated paths (2 channels only)."""
+    if channel_samples is None:
+        if samples is None:
+            samples = [(i * 257) % 32768 - 16384 for i in range(1600)]
+        channel_samples = [list(samples)]
+    chans = [list(c) for c in channel_samples]
+    nch = len(chans)
+    n = len(chans[0])
+    assert all(len(c) == n for c in chans)
+    assert stereo_mode == "independent" or nch == 2
+
+    si_pack = (sample_rate << 44) | ((nch - 1) << 41) | ((bps - 1) << 36) | n
+    streaminfo = (struct.pack(">HHBBB", min(block_size, n) or 16,
+                              min(block_size, n) or 16, 0, 0, 0)
+                  + b"\x00\x00\x00" + si_pack.to_bytes(8, "big")
+                  + b"\x00" * 16)
+    out = bytearray(b"fLaC" + b"\x80" + len(streaminfo).to_bytes(3, "big")
+                    + streaminfo)
+    ss_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps]
+    ca = {"independent": nch - 1, "left_side": 8, "right_side": 9,
+          "mid_side": 10}[stereo_mode]
+
+    def _subframe(bw: _BitWriter, vals: list[int], sub_bps: int) -> None:
+        if len(set(vals)) == 1:
+            bw.write(0, 1), bw.write(0, 6), bw.write(0, 1)
+            bw.write(vals[0], sub_bps)
+            return
+        order = fixed_order
+        if order:
+            bw.write(0, 1), bw.write(8 + order, 6), bw.write(0, 1)
+            for v in vals[:order]:
+                bw.write(v, sub_bps)
+            res = list(vals[:order])
+            coef = _FLAC_FIXED[order]
+            resid = []
+            for v in vals[order:]:
+                pred = sum(c * res[-1 - j] for j, c in enumerate(coef))
+                resid.append(v - pred)
+                res.append(v)
+            # method 0 rice, partition order 0, best 4-bit param
+            best_p, best_bits = 0, None
+            for p in range(15):
+                bits = sum((((r << 1) ^ (-1 if r < 0 else 0)) >> p) + 1 + p
+                           for r in resid)
+                if best_bits is None or bits < best_bits:
+                    best_p, best_bits = p, bits
+            bw.write(0, 2), bw.write(0, 4), bw.write(best_p, 4)
+            for r in resid:
+                u = (r << 1) ^ (-1 if r < 0 else 0)
+                q = u >> best_p
+                for _ in range(q):
+                    bw.write(0, 1)
+                bw.write(1, 1)
+                bw.write(u, best_p)
+            return
+        bw.write(0, 1), bw.write(1, 6), bw.write(0, 1)
+        for v in vals:
+            bw.write(v, sub_bps)
+
+    bs = min(block_size, n)
+    frame_no = 0
+    for off in range(0, n, bs):
+        cut = [c[off:off + bs] for c in chans]
+        cur = len(cut[0])
+        hdr = _BitWriter()
+        hdr.write(0x7FFC, 15), hdr.write(0, 1)      # sync + fixed blocking
+        hdr.write(7, 4)                             # 16-bit explicit size
+        hdr.write(0, 4)                             # rate from STREAMINFO
+        hdr.write(ca, 4), hdr.write(ss_code, 3), hdr.write(0, 1)
+        assert frame_no < 0x80
+        hdr.write(frame_no, 8)                      # UTF-8 single byte
+        hdr.write(cur - 1, 16)
+        hbytes = hdr.getvalue()
+        body = _BitWriter()
+        if stereo_mode == "independent":
+            stored = [(c, bps) for c in cut]
+        else:
+            l, r = cut
+            side = [a - b_ for a, b_ in zip(l, r)]
+            if stereo_mode == "left_side":
+                stored = [(l, bps), (side, bps + 1)]
+            elif stereo_mode == "right_side":
+                stored = [(side, bps + 1), (r, bps)]
+            else:
+                mid = [(a + b_) >> 1 for a, b_ in zip(l, r)]
+                stored = [(mid, bps), (side, bps + 1)]
+        for vals, sub_bps in stored:
+            _subframe(body, vals, sub_bps)
+        body.align()
+        frame = hbytes + bytes([_crc8(hbytes)]) + body.getvalue()
+        out += frame + _crc16(frame).to_bytes(2, "big")
+        frame_no += 1
+    return bytes(out)
+
+
 def real_audio_features(payload) -> dict | None:
-    """Signal-level features from a REAL decode (WAV only — the one
-    audio container whose 'decode' is pure struct reads): loudness =
+    """Signal-level features from a REAL decode (WAV — raw PCM behind
+    struct reads — and FLAC via decode_flac_pcm): loudness =
     RMS amplitude of the normalized interleaved samples in [0, 1],
     peak = max |sample|, zcr = zero-crossing rate of channel 0 (sign
     changes / (frames - 1), zeros carry the previous sign). Returns
-    None for non-WAV/compressed payloads — callers fall back to the
+    None for other/compressed payloads — callers fall back to the
     fake/raise path exactly as image_features does for non-PNG."""
     dec = decode_wav_pcm(payload)
+    if dec is None:
+        dec = decode_flac_pcm(payload)
     if dec is None:
         return None
     _rate, ch, s = dec
@@ -783,11 +1200,12 @@ def audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """Decode + feature-extract audio, same shape as image_features:
     sample_rate/channels/duration come from REAL container-header
     parsing (parse_audio_header — WAV/FLAC/MP3). Signal-level features
-    (loudness/peak/zcr) are REAL for WAV payloads in both modes
-    (decode_wav_pcm — raw samples behind struct reads, no codec); for
-    formats whose sample decode genuinely needs a codec (FLAC/MP3)
-    they fall back to the deterministic fake when ``fake=True`` and
-    raise otherwise."""
+    (loudness/peak/zcr) are REAL in both modes for WAV (decode_wav_pcm
+    — raw samples behind struct reads) and FLAC (decode_flac_pcm —
+    full Rice/fixed/LPC bitstream decode, stdlib only); for formats
+    whose sample decode genuinely needs a codec (MP3) they fall back
+    to the deterministic fake when ``fake=True`` and raise
+    otherwise."""
 
     def run(batches):
         import pandas as pd

@@ -721,6 +721,128 @@ class TestMultimodal:
             zcr = round(cross / (len(vals) - 1), 6)
             assert out[f"a{i}"] == (rms, peak, zcr), i
 
+    def test_flac_decode_roundtrip_pure(self):
+        """decode_flac_pcm is a REAL bitstream decoder (RFC 9639):
+        verbatim/constant/fixed(1-4) subframes, multi-frame streams,
+        all three stereo decorrelations, 8-bit depth, and CRC-8/CRC-16
+        rejection — all against the in-repo stdlib encoder."""
+        import random
+
+        from librecrawl_spark.operators.multimodal import (
+            decode_flac_pcm, make_test_flac)
+
+        s = [0, 16384, -16384, -32768, 123, -1]
+        assert decode_flac_pcm(make_test_flac(8000, 16, samples=s)) \
+            == (8000, 1, [v / 32768.0 for v in s])
+        rate, ch, cs = decode_flac_pcm(
+            make_test_flac(8000, 16, samples=[-5000] * 100))
+        assert (rate, ch) == (8000, 1) and cs == [-5000 / 32768.0] * 100
+        ramp = list(range(-500, 500))
+        assert decode_flac_pcm(
+            make_test_flac(16000, 16, samples=ramp, fixed_order=1)) \
+            == (16000, 1, [v / 32768.0 for v in ramp])
+        rnd = random.Random(3)
+        sig = [rnd.randrange(-20000, 20000) for _ in range(1000)]
+        for o in (1, 2, 3, 4):
+            assert decode_flac_pcm(
+                make_test_flac(44100, 16, samples=sig, fixed_order=o)) \
+                == (44100, 1, [v / 32768.0 for v in sig]), f"fixed{o}"
+        left = [rnd.randrange(-30000, 30000) for _ in range(700)]
+        right = [rnd.randrange(-30000, 30000) for _ in range(700)]
+        want = [v / 32768.0 for pair in zip(left, right) for v in pair]
+        # multi-frame (block_size splits) + every stereo storage mode
+        assert decode_flac_pcm(make_test_flac(
+            22050, 16, channel_samples=[left, right], block_size=256)) \
+            == (22050, 2, want)
+        for mode in ("left_side", "right_side", "mid_side"):
+            assert decode_flac_pcm(make_test_flac(
+                22050, 16, channel_samples=[left, right],
+                stereo_mode=mode)) == (22050, 2, want), mode
+        s8 = [-128, 127, 0, 64]
+        assert decode_flac_pcm(make_test_flac(8000, 8, samples=s8)) \
+            == (8000, 1, [v / 128.0 for v in s8])
+        # rejection: non-FLAC, truncated, flipped frame CRC-16, flipped
+        # header byte (CRC-8)
+        assert decode_flac_pcm(b"RIFF" * 4) is None
+        assert decode_flac_pcm(b"fLaC" + b"\x00" * 10) is None
+        good = bytearray(make_test_flac(8000, 16, samples=s))
+        bad = bytearray(good)
+        bad[-1] ^= 0xFF
+        assert decode_flac_pcm(bytes(bad)) is None
+        bad2 = bytearray(good)
+        bad2[46] ^= 0x01
+        assert decode_flac_pcm(bytes(bad2)) is None
+
+    def test_flac_lpc_wasted_bits_escape_pure(self):
+        """Handcrafted subframe/residual bitstreams exercise the
+        decoder paths the fixture encoder never emits: LPC prediction,
+        wasted-bits shift, Rice method 1 (5-bit params), and escaped
+        (raw) residual partitions."""
+        from librecrawl_spark.operators.multimodal import (
+            _BitReader, _BitWriter, _flac_residual, _flac_subframe)
+
+        # LPC order 1, coef=2, shift=1 -> pred = (2*prev)>>1 = prev:
+        # identical to fixed-1, so a ramp has all-zero residuals
+        bw = _BitWriter()
+        bw.write(0, 1), bw.write(32, 6), bw.write(0, 1)  # lpc order 1
+        bw.write(7, 16)                                  # warmup sample
+        bw.write(3, 4)                                   # precision-1 -> 4
+        bw.write(1, 5)                                   # shift
+        bw.write(2, 4)                                   # coefficient
+        bw.write(0, 2), bw.write(0, 4), bw.write(0, 4)   # rice m0 po0 p0
+        for _ in range(9):
+            bw.write(1, 1)                               # zigzag(0)
+        bw.align()
+        assert _flac_subframe(_BitReader(bw.getvalue()), 10, 16) == [7] * 10
+        # wasted bits: constant 3 with k=2 wasted -> stored at bps-2,
+        # decoded value shifted back up: 3<<2 = 12
+        bw = _BitWriter()
+        bw.write(0, 1), bw.write(0, 6)
+        bw.write(1, 1), bw.write(0, 1), bw.write(1, 1)   # flag + unary(1)
+        bw.write(3, 14)                                  # bps 16 - 2
+        bw.align()
+        assert _flac_subframe(_BitReader(bw.getvalue()), 4, 16) == [12] * 4
+        # rice method 1 (5-bit params) and escape partition (raw 6-bit)
+        bw = _BitWriter()
+        bw.write(1, 2), bw.write(1, 4)                   # method 1, po=1
+        bw.write(31, 5), bw.write(6, 5)                  # escape, raw 6
+        for v in (-5, 30):
+            bw.write(v, 6)
+        bw.write(2, 5)                                   # param 2
+        for v in (3, -3):                                # zigzag 6, 5
+            u = (v << 1) ^ (-1 if v < 0 else 0)
+            q = u >> 2
+            for _ in range(q):
+                bw.write(0, 1)
+            bw.write(1, 1), bw.write(u, 2)
+        bw.align()
+        assert _flac_residual(_BitReader(bw.getvalue()), 4, 0) \
+            == [-5, 30, 3, -3]
+
+    def test_audio_features_real_for_flac(self, spark):
+        """The mapInPandas pipeline serves REAL signal features for
+        FLAC payloads (decode_flac_pcm), matching the WAV pipeline's
+        output for the same samples — and the header row (rate/
+        channels/duration) comes from STREAMINFO."""
+        from librecrawl_spark.operators.multimodal import (
+            MEDIA_SCHEMA, audio_features, make_test_flac, make_test_wav)
+
+        sq = [32767, 32767, -32767, -32767] * 25
+        rows = [
+            ("f0", "audio", bytearray(make_test_flac(8000, 16, samples=sq)),
+             ("audio/flac", 0, 0, 0)),
+            ("w0", "audio", bytearray(make_test_wav(8000, 1, samples=sq)),
+             ("audio/wav", 0, 0, 0)),
+        ]
+        m = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+        out = {r["media_id"]: r.asDict() for r in audio_features(m).collect()}
+        f, w = out["f0"], out["w0"]
+        assert f["mime"] == "audio/flac" and w["mime"] == "audio/wav"
+        assert (f["sample_rate"], f["channels"]) == (8000, 1)
+        assert f["duration_ms"] == w["duration_ms"] == 12
+        for k in ("loudness", "peak", "zcr"):
+            assert f[k] == w[k], k
+
 
 class TestSitemap:
     def test_parse_urlset(self, spark):
