@@ -502,6 +502,51 @@ the transferable number.
 """
 
 
+def _fused_probe_ab_section() -> str:
+    """Render the same-window rev2-vs-rev3 A/B (BENCH/
+    ab_fused_probe.json): the wall-clock evidence that the fused
+    grouping-sets probe (job rev 3) actually delivers the 4N
+    fixed-cost cut its task-launch counts predict. Single runs are
+    meaningless under this host's noise, so the two plans alternate
+    back-to-back inside each window."""
+    try:
+        with open(f"{REPO}/BENCH/ab_fused_probe.json") as fh:
+            ab = json.load(fh)
+    except (OSError, ValueError):
+        return ""
+    rows = []
+    for cell, arms in ab["cells"].items():
+        cpus, n = cell.split(":")
+        pairs = list(zip(arms["rev2"], arms["rev3"]))
+        wins = sum(1 for a, b in pairs if b < a)
+        rows.append(
+            f"| local[{cpus}] {int(n):,} "
+            f"| {', '.join(str(v) for v in arms['rev2'])} "
+            f"| {', '.join(str(v) for v in arms['rev3'])} "
+            f"| {wins}/{len(pairs)} |")
+    return f"""
+## Fused-probe plan change: same-window A/B (rev2 vs rev3)
+
+Wall-clock proof for the round-5 plan change (three-branch union
+probe -> one grouping-sets aggregate): the two plans ran ALTERNATING
+child jobs (rev2 then rev3, same cell, adjacent in time) so every
+pair shares a noise window — the only comparison this host's +/-2x
+windows cannot invert. Per-cell walls (sec, 3 rounds):
+
+| cell | rev2 walls | rev3 walls | rev3 wins |
+|---|---|---|---|
+{chr(10).join(rows)}
+
+At the fixed-cost-dominated cell (local[32], 4M candidates) the fused
+plan wins every pair by ~1.9x — exactly the 4N per-job-constant cut
+its scheduler counts predict (task launches 2,663 -> ~2,000/wave).
+At 16M rows the two plans are within noise of each other (the probe's
+extra map-side row duplication trades against the removed rescans),
+so the fusion is a strict improvement where the constant matters and
+neutral where data dominates.
+"""
+
+
 def _extract_fixed_cost_section() -> str:
     """Render the extract-stage fixed-cost decomposition (maintained by
     scripts/probe_extract_scaling.py) so --scaling rewrites of
@@ -672,7 +717,7 @@ normalized to the ceiling: frontier {f_eff / ceiling:.2f}, extract
 into the throughput; the per-stage fixed-cost decompositions below
 separate it, and their MARGINAL per-row rates are the numbers that
 transfer to real wave sizes:{_marginal_summary(ceiling)}
-{_frontier_fixed_cost_section()}{_wave_overhead_section()}{_extract_fixed_cost_section()}
+{_frontier_fixed_cost_section()}{_wave_overhead_section()}{_fused_probe_ab_section()}{_extract_fixed_cost_section()}
 ## Methodology + optimization history (rounds 1-5)
 
 Each measurement is the min over BENCH_REPS (default 2)
@@ -706,6 +751,14 @@ long 64M validation cells, by contrast, were stable across windows
 noise bursts that dominate small-cell walls, which is itself the
 fixed-cost amortization thesis measured from another angle.
 
+The degradation survived a host reboot (session 2: load-0.1 idle VM,
+fresh /dev/shm, yet fit-size cells still ran 1.5-3x over the rev2
+archive and swung +/-2x between adjacent runs) — it is the
+neighbors, not this VM's state. Consequence: cross-session wall
+comparisons are only valid same-window (the alternating A/B above),
+and the published per-cell bests converge across sessions, never
+within one.
+
 Scaling fixes found by profiling stage-by-stage with noop writes
 (round 1, then round 2 via scripts/tune_frontier.py interleaved A/B —
 single runs are meaningless under this host's noise):
@@ -727,6 +780,7 @@ single runs are meaningless under this host's noise):
 | r4: eager localCheckpoint in iterative ops (connected components, sitemap loop) | pointer-jumping lineage doubled per round (2^rounds plan -> planner OOM); checkpoint keeps the plan O(1)-deep and parses each sitemap body once |
 | r4: href-derivation memo in the extract span walk + tuple row assembly | urljoin/urlparse were ~40% of the walk's profile and nav/footer hrefs repeat per host — memo keyed by (join base, href); rows built as schema-ordered tuples instead of 50-key dicts (~2x cheaper frame build): extract marginal 54.6k -> 87.1k docs/s at 4N (marginal eff 0.55 -> 0.77) |
 | r4: politeness bucket-cut plan (mode="bucket") measured, kept NON-default | locates each limited host's budget cut via (host, seq-bucket) counts + broadcast verdict so no task sorts more than one host's bucket slice — but at the bench shape (limited volume spread over 750 hosts) its extra broadcast-join scans are memory-bandwidth-bound (flat 8->32: 8.7s->7.7s) while the default window's sort parallelizes (13.6s->6.1s same-session A/B); kept as the documented skew path for waves where one RATE-LIMITED host dominates |
+| r5: grouping-sets fused wave probe + single-task broadcast builds for driver-local frames (job rev 3) | the three-branch union probe re-scanned the wave cache per branch and shuffled each aggregate separately; one GROUPING SETS ((signature),(_bkt)) scan folds them: ~20 -> 16 AQE jobs, 2,663 -> ~2,000 task launches per wave at local[32]; same-window A/B (section above): 1.9x faster at the fixed-cost-dominated 4M/32-thread cell (3/3 pairs), within noise at 16M |
 
 On a real 4N-executor cluster — where added executors bring their own
 memory bandwidth and local disks — the calibration ceiling is ~1.0, so
