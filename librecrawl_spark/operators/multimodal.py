@@ -5,8 +5,9 @@ columns with typed metadata structs, processed through Arrow-batched
 Pixel/sample decode is REAL and codec-free for the formats where the
 math is stdlib-expressible: PNG (decode_png: zlib inflate + all five
 scanline filters), GIF (decode_gif: pure-Python appendix-F LZW),
-baseline JPEG (jpegdec.decode_jpeg_luma: huffman + dequant + IDCT,
-luma plane only), and WAV (decode_wav_pcm: PCM/float samples are raw
+baseline AND progressive JPEG (jpegdec.decode_jpeg_luma: huffman +
+dequant + IDCT, SOF2 multi-scan coefficient accumulation, luma plane
+only), and WAV (decode_wav_pcm: PCM/float samples are raw
 struct data) — so phash/mean_luma are true pixel features for
 PNG/GIF/JPEG and loudness/peak/zcr are true signal features for WAV.
 FLAC is fully stdlib-expressible too (decode_flac_pcm: bit-level
@@ -407,13 +408,14 @@ def _box_resample(lumas, out_w: int, out_h: int):
 
 def real_image_features(payload) -> dict | None:
     """Pixel-level features from a REAL decode (PNG, GIF, and baseline
-    JPEG — all pure stdlib: zlib, appendix-F LZW, huffman+IDCT):
-    mean_luma = mean(luma)/255, phash = 64-bit row-major dHash over a
+    + progressive JPEG — all pure stdlib: zlib, appendix-F LZW,
+    huffman+IDCT with SOF2 multi-scan accumulation): mean_luma =
+    mean(luma)/255, phash = 64-bit row-major dHash over a
     9x8 box-resampled luma grid (bit y*8+x, MSB-first, = 1 iff
     grid[y][x+1] > grid[y][x] — a strictly left-to-right-brightening
     image hashes to all-ones, a vertical gradient to all-zeros; both
-    asserted analytically in tests). Returns None for WebP/progressive-
-    JPEG/uncovered payloads. The pure-Python JPEG path trades speed for
+    asserted analytically in tests). Returns None for WebP/uncovered
+    payloads. The pure-Python JPEG path trades speed for
     zero dependencies — at production scale swap decode_jpeg_luma for a
     libjpeg binding inside the same mapInPandas kernel."""
     lumas = decode_png(payload)
@@ -457,10 +459,11 @@ def image_features(media: DataFrame, fake: bool = True) -> DataFrame:
     (parse_image_header — PNG/GIF/JPEG, stdlib struct reads). Pixel
     features (phash, mean_luma) are REAL in both modes for PNG
     (decode_png: stdlib zlib + unfiltering), GIF (decode_gif: pure-
-    Python appendix-F LZW), and baseline JPEG (decode_jpeg_luma:
-    huffman + IDCT); for the formats whose decode genuinely needs a
-    codec (WebP pixels, progressive JPEG) they fall back to the
-    deterministic fake when ``fake=True`` and raise otherwise."""
+    Python appendix-F LZW), and baseline + progressive JPEG
+    (decode_jpeg_luma: huffman + IDCT, SOF2 multi-scan accumulation);
+    for the formats whose decode genuinely needs a codec (WebP
+    pixels) they fall back to the deterministic fake when
+    ``fake=True`` and raise otherwise."""
 
     def run(batches):
         import pandas as pd

@@ -77,14 +77,18 @@ class TestJpegLumaDecode:
                 make_test_jpeg(img, chroma=(128, 128), sampling=(2, 2)))
 
     def test_out_of_scope_rejection(self):
-        """Progressive (SOF2), table-less header fixtures, and
-        non-JPEG bytes return None — the documented fake-fallback
-        contract, never an exception."""
+        """Malformed frames (precision != 8), arithmetic coding,
+        table-less header fixtures, and non-JPEG bytes return None —
+        the documented fake-fallback contract, never an exception."""
         from librecrawl_spark.operators.jpegdec import decode_jpeg_luma
         from librecrawl_spark.operators.multimodal import make_test_jpeg_header
 
+        # SOF2 with precision 0 (malformed progressive header)
         assert decode_jpeg_luma(
             b"\xff\xd8\xff\xc2\x00\x10" + b"\x00" * 14) is None
+        # SOF9 (arithmetic-coded extended sequential) is out of scope
+        assert decode_jpeg_luma(
+            b"\xff\xd8\xff\xc9\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00") is None
         assert decode_jpeg_luma(make_test_jpeg_header(4, 4)) is None
         assert decode_jpeg_luma(b"not a jpeg") is None
         assert decode_jpeg_luma(b"") is None
@@ -92,6 +96,70 @@ class TestJpegLumaDecode:
         from librecrawl_spark.operators.jpegdec import make_test_jpeg
         good = make_test_jpeg([[90] * 16 for _ in range(16)])
         assert decode_jpeg_luma(good[:len(good) - 40]) is None
+
+    def test_progressive_equals_baseline(self):
+        """Progressive (SOF2) decode: spectral-selection + successive-
+        approximation scans accumulate the SAME quantized coefficients
+        a sequential stream carries, so progressive and baseline
+        encodings of one image must decode to IDENTICAL pixels — over
+        gradients, noise, grayscale/color, 4:4:4/4:2:0, odd dims, and
+        restart intervals (EOB runs, ZRL-interleaved correction bits,
+        and DC/AC refinement all exercised by the noise cases)."""
+        import random
+
+        from librecrawl_spark.operators.jpegdec import (
+            decode_jpeg_luma, make_test_jpeg, make_test_jpeg_progressive)
+
+        rnd = random.Random(11)
+
+        def noise(w, h):
+            return [[rnd.randrange(256) for _ in range(w)] for _ in range(h)]
+
+        grad = [[(x * 255) // 15 for x in range(16)] for _ in range(16)]
+        cases = [
+            (grad, None, (1, 1), 0),
+            (noise(24, 17), None, (1, 1), 0),
+            ([[128] * 16 for _ in range(16)], None, (1, 1), 0),
+            (noise(20, 20), (90, 160), (2, 2), 0),
+            (noise(40, 16), None, (1, 1), 2),
+            (noise(33, 18), (128, 128), (2, 2), 1),
+            (noise(17, 9), (64, 200), (1, 1), 3),
+        ]
+        for t in range(8):   # deterministic fuzz tail
+            w, h = rnd.randrange(8, 40), rnd.randrange(8, 40)
+            chroma = None if t % 3 == 0 else (rnd.randrange(256),
+                                              rnd.randrange(256))
+            samp = (1, 1) if chroma is None or t % 2 else (2, 2)
+            cases.append((noise(w, h), chroma, samp,
+                          rnd.choice([0, 1, 2, 5])))
+        for luma, chroma, samp, ri in cases:
+            base = decode_jpeg_luma(make_test_jpeg(luma, chroma, samp, ri))
+            prog = decode_jpeg_luma(
+                make_test_jpeg_progressive(luma, chroma, samp, ri))
+            assert base is not None and prog == base, (chroma, samp, ri)
+
+    def test_progressive_features_real_in_pipeline(self, spark):
+        """image_features serves REAL pixel features for progressive
+        JPEG payloads — same mean_luma/phash as the baseline encoding
+        of the same image."""
+        from librecrawl_spark.operators.jpegdec import (
+            make_test_jpeg, make_test_jpeg_progressive)
+        from librecrawl_spark.operators.multimodal import (
+            MEDIA_SCHEMA, image_features)
+
+        grad = [[(x * 255) // 23 for x in range(24)] for _ in range(16)]
+        rows = [
+            ("p0", "image", bytearray(make_test_jpeg_progressive(grad)),
+             ("image/jpeg", 0, 0, 0)),
+            ("b0", "image", bytearray(make_test_jpeg(grad)),
+             ("image/jpeg", 0, 0, 0)),
+        ]
+        m = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+        out = {r["media_id"]: r.asDict() for r in image_features(m).collect()}
+        p, b = out["p0"], out["b0"]
+        assert (p["width"], p["height"]) == (24, 16)
+        assert p["phash"] == b["phash"] == "f" * 16  # left-to-right brightening
+        assert p["mean_luma"] == b["mean_luma"]
 
     def test_dhash_gradient_analytic(self):
         """The dHash contract holds through the JPEG path: a strictly
