@@ -7,13 +7,16 @@ math is stdlib-expressible: PNG (decode_png: zlib inflate + all five
 scanline filters), GIF (decode_gif: pure-Python appendix-F LZW),
 baseline AND progressive JPEG (jpegdec.decode_jpeg_luma: huffman +
 dequant + IDCT, SOF2 multi-scan coefficient accumulation, luma plane
-only), and WAV (decode_wav_pcm: PCM/float samples are raw
+only), lossless WebP (vp8ldec.decode_webp_lossless: the full VP8L
+bitstream — huffman groups, color cache, LZ77, all four transforms),
+and WAV (decode_wav_pcm: PCM/float samples are raw
 struct data) — so phash/mean_luma are true pixel features for
-PNG/GIF/JPEG and loudness/peak/zcr are true signal features for WAV.
+PNG/GIF/JPEG/WebP-lossless and loudness/peak/zcr are true signal
+features for WAV.
 FLAC is fully stdlib-expressible too (decode_flac_pcm: bit-level
 Rice/fixed/LPC subframe decode per RFC 9639 — no DSP tables, just
 integer predictors), so signal features are REAL for FLAC as well.
-The remaining codecs (WebP/AV1 pixels, ffmpeg frames, MP3
+The remaining codecs (lossy VP8/AV1 pixels, ffmpeg frames, MP3
 samples) are NOT in this container, so those kernels stay stubbed:
 they raise NotImplementedError unless ``fake=True``, in which case a
 deterministic fake decoder (seeded by content hash) produces stable
@@ -407,23 +410,30 @@ def _box_resample(lumas, out_w: int, out_h: int):
 
 
 def real_image_features(payload) -> dict | None:
-    """Pixel-level features from a REAL decode (PNG, GIF, and baseline
-    + progressive JPEG — all pure stdlib: zlib, appendix-F LZW,
-    huffman+IDCT with SOF2 multi-scan accumulation): mean_luma =
+    """Pixel-level features from a REAL decode (PNG, GIF, baseline +
+    progressive JPEG, and lossless WebP — all pure stdlib: zlib,
+    appendix-F LZW, huffman+IDCT with SOF2 multi-scan accumulation,
+    and the VP8L bitstream incl. its four transforms): mean_luma =
     mean(luma)/255, phash = 64-bit row-major dHash over a
     9x8 box-resampled luma grid (bit y*8+x, MSB-first, = 1 iff
     grid[y][x+1] > grid[y][x] — a strictly left-to-right-brightening
     image hashes to all-ones, a vertical gradient to all-zeros; both
-    asserted analytically in tests). Returns None for WebP/uncovered
-    payloads. The pure-Python JPEG path trades speed for
-    zero dependencies — at production scale swap decode_jpeg_luma for a
-    libjpeg binding inside the same mapInPandas kernel."""
+    asserted analytically in tests). Returns None for lossy-VP8/
+    uncovered payloads. The pure-Python decode paths trade speed for
+    zero dependencies — at production scale swap in libjpeg/libwebp
+    bindings inside the same mapInPandas kernel."""
     lumas = decode_png(payload)
     if lumas is None:
         lumas = decode_gif(payload)
     if lumas is None:
         from librecrawl_spark.operators.jpegdec import decode_jpeg_luma
         lumas = decode_jpeg_luma(payload)
+    if lumas is None:
+        from librecrawl_spark.operators.vp8ldec import decode_webp_lossless
+        rgba = decode_webp_lossless(payload)
+        if rgba is not None:
+            lumas = [[round(0.299 * r + 0.587 * g + 0.114 * b)
+                      for (r, g, b, _a) in row] for row in rgba]
     if not lumas or not lumas[0]:
         return None
     n = sum(len(r) for r in lumas)
@@ -456,13 +466,14 @@ def image_features(media: DataFrame, fake: bool = True) -> DataFrame:
     bounded (binary columns dominate memory).
 
     width/height/mime come from REAL container-header parsing
-    (parse_image_header — PNG/GIF/JPEG, stdlib struct reads). Pixel
-    features (phash, mean_luma) are REAL in both modes for PNG
+    (parse_image_header — PNG/GIF/JPEG/WebP, stdlib struct reads).
+    Pixel features (phash, mean_luma) are REAL in both modes for PNG
     (decode_png: stdlib zlib + unfiltering), GIF (decode_gif: pure-
-    Python appendix-F LZW), and baseline + progressive JPEG
-    (decode_jpeg_luma: huffman + IDCT, SOF2 multi-scan accumulation);
-    for the formats whose decode genuinely needs a codec (WebP
-    pixels) they fall back to the deterministic fake when
+    Python appendix-F LZW), baseline + progressive JPEG
+    (decode_jpeg_luma: huffman + IDCT, SOF2 multi-scan accumulation),
+    and lossless WebP (vp8ldec.decode_webp_lossless: the full VP8L
+    bitstream); for the one image format whose decode genuinely needs
+    a codec (lossy VP8) they fall back to the deterministic fake when
     ``fake=True`` and raise otherwise."""
 
     def run(batches):
