@@ -434,7 +434,43 @@ from 8 to 32 threads (raw eff {fc['marginal_eff']:.2f}). A wave over
 the north rule's 10^10-URL frontier schedules 10^8+ candidates per
 job, amortizing the constant to noise — the marginal rate is the
 transferable number, exactly as for the extract stage below.
-{_frontier_validation_cell(fc)}"""
+{_frontier_prev_rev_note(fc)}{_frontier_validation_cell(fc)}"""
+
+
+def _frontier_prev_rev_note(fc: dict) -> str:
+    """When an archived (previous plan revision) pool exists, show its
+    converged decomposition for context: per-cell bests only converge
+    within the windows a session happens to catch, so a fresh pool in
+    a degraded stretch under-reads the plan. Cross-revision walls are
+    NOT a plan comparison (the same-window A/B section is)."""
+    prev = next((fc[k] for k in sorted(fc, reverse=True)
+                 if k.startswith("best_sec_rev") and
+                 all(f"{c}:{n}" in fc[k] for c in (8, 32)
+                     for n in fc["sizes"])), None)
+    if not prev:
+        return ""
+    n1, n2 = fc["sizes"]
+    rows = []
+    rates = {}
+    for c in (8, 32):
+        t1, t2 = prev[f"{c}:{n1}"], prev[f"{c}:{n2}"]
+        fixed = (n2 * t1 - n1 * t2) / (n2 - n1)
+        rates[c] = (n2 - n1) / (t2 - t1)
+        rows.append(f"| local[{c}] | {fixed:.2f} | {rates[c]:,.0f} |")
+    return f"""
+For context, the PREVIOUS plan revision's pool — converged over many
+more sessions, including quieter host windows than the current pool
+has seen — decomposed to:
+
+| level | fixed sec/job | marginal URLs/sec |
+|---|---|---|
+{chr(10).join(rows)}
+
+(marginal eff {rates[32] / rates[8] / 4:.2f} raw). Absolute walls are
+window-bound and do NOT compare plans across revisions — the
+same-window A/B below is the valid plan comparison; accumulated
+bests converge each pool downward as sessions catch quiet windows.
+"""
 
 
 def _frontier_validation_cell(fc: dict) -> str:
